@@ -1,0 +1,35 @@
+"""Global configuration for temporalgps_tpu.
+
+The reference library (TemporalGPs.jl) computes in Float64 by default — its
+`StorageType{T}` defaults to `Float64` (reference: src/util/storage_types.jl:28-48)
+and its oracle tests require ~1e-8 agreement with a dense GP. We therefore enable
+JAX x64 at import time unless the user opts out via TEMPORALGPS_X64=0.
+
+Float32 remains available per-model via the `storage` argument of `to_sde`
+(mirroring the reference's `SArrayStorage(Float32)` benchmark variants,
+reference: bench/single_output_gps.jl "heapF32/stackF32").
+"""
+
+import os
+
+import jax
+
+if os.environ.get("TEMPORALGPS_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
+
+# Jitter constants, chosen to match the reference semantics exactly:
+#  - 1e-12: default observation noise of a FiniteGP over an LTISDE
+#    (reference: src/gp/lti_sde.jl:27-29) and `ident_eps` default
+#    (reference: src/models/lgssm.jl:242-246).
+#  - 1e-9: jitter inside `conditional_rand`
+#    (reference: src/models/linear_gaussian_conditionals.jl:86).
+#  - 1e-10: jitter on P in LargeOutputLGC.posterior_and_lml and on Pp in
+#    `invert_dynamics` (reference: linear_gaussian_conditionals.jl:183,
+#    lgssm.jl:235).
+#  - 1e15: large-variance fill-in used for missing observations
+#    (reference: src/models/missings.jl:43).
+DEFAULT_NOISE = 1e-12
+IDENT_EPS = 1e-12
+RAND_JITTER = 1e-9
+POSTERIOR_JITTER = 1e-10
+LARGE_VAR = 1e15

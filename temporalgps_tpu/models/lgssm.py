@@ -1,0 +1,318 @@
+"""LGSSM — model container and inference drivers.
+
+Mirror of the reference's `LGSSM` layer (reference: src/models/lgssm.jl),
+re-designed for XLA: every driver is a pure function over pytrees, executed by
+one of three interchangeable engines:
+
+  * "sequential" — `lax.scan` over time; the trustworthy reference engine,
+    mirroring the reference's `scan_emit` loop step-for-step.
+  * "parallel"   — Sarkka-style parallel prefix scans on
+    `lax.associative_scan` (ops/assoc.py); O(log N) depth.
+  * "block"      — two-phase block-parallel engine (ops/block.py); the TPU
+    speed-of-light path: vmapped within-block scans + cross-block prefix
+    combine, ~O(1) HBM passes.
+
+The RTS smoother is represented, exactly as in the reference, as *another
+LGSSM* with reversed ordering and inverted dynamics whose x0 is the final
+filtering distribution (reference: src/models/lgssm.jl:193-240), so
+rand/marginals/logpdf of the posterior reuse the same engines.
+
+Step order per ordering matches the reference exactly:
+  Forward: transition-predict, then emit/update   (lgssm.jl:155-159)
+  Reverse: emit/update first, then transition      (lgssm.jl:161-165)
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import POSTERIOR_JITTER
+from ..ops import lgc
+from ..utils import psd
+from ..utils.fill import scan_emit, time_length, tindex
+from ..utils.gaussian import Gaussian, gaussian_rand
+from ..utils.pytrees import pytree_dataclass
+from . import emissions as em
+from .gauss_markov import GaussMarkov
+
+
+@pytree_dataclass
+class LGSSM:
+    trans: GaussMarkov
+    emis: Any  # one of the emission containers
+
+    def __len__(self):
+        return len(self.trans)
+
+    @property
+    def latent_dim(self) -> int:
+        return self.trans.dim
+
+
+def _trans_params(model: LGSSM):
+    t = model.trans
+    return (t.As, t.offs, t.Qs)
+
+
+def _step_params(model: LGSSM):
+    return (_trans_params(model), model.emis)
+
+
+DEFAULT_ENGINE = "sequential"
+
+
+def _resolve_engine(engine):
+    return DEFAULT_ENGINE if engine is None else engine
+
+
+# ---------------------------------------------------------------------------
+# logpdf / filter
+# ---------------------------------------------------------------------------
+
+def logpdf(model: LGSSM, y, *, engine=None):
+    """Log marginal likelihood via the Kalman filter
+    (reference: src/models/lgssm.jl:147-165)."""
+    engine = _resolve_engine(engine)
+    if engine == "parallel":
+        from ..ops import assoc
+
+        return assoc.logpdf(model, y)
+    if engine == "block":
+        from ..ops import block
+
+        return block.logpdf(model, y)
+
+    def step(x, params):
+        ((A, a, Q), e), yt = params
+        if model.trans.forward:
+            xp = lgc.predict(x, A, a, Q)
+            xf, lml = em.step_posterior_and_lml(xp, e, yt)
+            return lml, xf
+        xf, lml = em.step_posterior_and_lml(x, e, yt)
+        xp = lgc.predict(xf, A, a, Q)
+        return lml, xp
+
+    lmls, _ = scan_emit(
+        step, (_step_params(model), y), model.trans.x0,
+        reverse=not model.trans.forward,
+    )
+    return jnp.sum(lmls)
+
+
+def filter_(model: LGSSM, y, *, engine=None):
+    """Filtering distributions at every step
+    (reference: src/models/lgssm.jl:171-187). Returns a stacked Gaussian."""
+    engine = _resolve_engine(engine)
+    if engine == "parallel":
+        from ..ops import assoc
+
+        return assoc.filter_(model, y)
+    if engine == "block":
+        from ..ops import block
+
+        return block.filter_(model, y)
+
+    def step(x, params):
+        ((A, a, Q), e), yt = params
+        if model.trans.forward:
+            xp = lgc.predict(x, A, a, Q)
+            xf, _ = em.step_posterior_and_lml(xp, e, yt)
+            return xf, xf
+        xf, _ = em.step_posterior_and_lml(x, e, yt)
+        xp = lgc.predict(xf, A, a, Q)
+        return xf, xp
+
+    xs, _ = scan_emit(
+        step, (_step_params(model), y), model.trans.x0,
+        reverse=not model.trans.forward,
+    )
+    return xs
+
+
+# ---------------------------------------------------------------------------
+# marginals
+# ---------------------------------------------------------------------------
+
+def marginals(model: LGSSM, *, engine=None) -> Gaussian:
+    """Observation-space marginal at every step (dense covariance)
+    (reference: src/models/lgssm.jl:99-115)."""
+    engine = _resolve_engine(engine)
+    if engine in ("parallel", "block"):
+        from ..ops import assoc
+
+        xs = assoc.latent_marginals(model, engine=engine)
+        return em.step_predict(xs, _emis_batched(model))
+
+    def step(x, params):
+        (A, a, Q), e = params
+        if model.trans.forward:
+            xp = lgc.predict(x, A, a, Q)
+            return em.step_predict(xp, e), xp
+        yt = em.step_predict(x, e)
+        xp = lgc.predict(x, A, a, Q)
+        return yt, xp
+
+    ys, _ = scan_emit(
+        step, _step_params(model), model.trans.x0, reverse=not model.trans.forward
+    )
+    return ys
+
+
+def marginals_diag(model: LGSSM, *, engine=None):
+    """Observation-space marginal means and variance diagonals
+    (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
+    engine = _resolve_engine(engine)
+    if engine in ("parallel", "block"):
+        from ..ops import assoc
+
+        xs = assoc.latent_marginals(model, engine=engine)
+        return em.step_predict_marginals(xs, _emis_batched(model))
+
+    def step(x, params):
+        (A, a, Q), e = params
+        if model.trans.forward:
+            xp = lgc.predict(x, A, a, Q)
+            return em.step_predict_marginals(xp, e), xp
+        out = em.step_predict_marginals(x, e)
+        xp = lgc.predict(x, A, a, Q)
+        return out, xp
+
+    out, _ = scan_emit(
+        step, _step_params(model), model.trans.x0, reverse=not model.trans.forward
+    )
+    return out
+
+
+def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
+    """Marginals of the latent chain itself (stacked Gaussian)."""
+    engine = _resolve_engine(engine)
+    if engine in ("parallel", "block"):
+        from ..ops import assoc
+
+        return assoc.latent_marginals(model, engine=engine)
+
+    def step(x, params):
+        (A, a, Q), _e = params
+        if model.trans.forward:
+            xp = lgc.predict(x, A, a, Q)
+            return xp, xp
+        xp = lgc.predict(x, A, a, Q)
+        return x, xp
+
+    xs, _ = scan_emit(
+        step, _step_params(model), model.trans.x0, reverse=not model.trans.forward
+    )
+    return xs
+
+
+def _emis_batched(model: LGSSM):
+    """Emission container materialised with a leading time axis, for batched
+    (non-scan) application."""
+    from ..utils.fill import tmaterialize
+
+    return tmaterialize(model.emis)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def rand(key, model: LGSSM, *, engine=None):
+    """Joint sample of the observations (reference: src/models/lgssm.jl:65-91).
+
+    All randomness is pre-drawn so the scan body is deterministic — the same
+    design the reference adopted for checkpointed reverse AD
+    (reference: lgssm.jl:71-77), which is equally the right design for
+    `jax.checkpoint` and for the parallel engines.
+    """
+    N = len(model)
+    D = model.latent_dim
+    k0, kt, ke = jax.random.split(key, 3)
+    x_init = gaussian_rand(k0, model.trans.x0)
+    eps_t = jax.random.normal(kt, (N, D), x_init.dtype)
+    e0 = tindex(model.emis, 0)
+    if isinstance(model.emis, em.ScalarEmissions):
+        eps_e = jax.random.normal(ke, (N,), x_init.dtype)
+    else:
+        Dout = em.dim_out(model.emis)
+        eps_e = jax.random.normal(ke, (N, Dout), x_init.dtype)
+
+    engine = _resolve_engine(engine)
+    if engine in ("parallel", "block"):
+        from ..ops import assoc
+
+        return assoc.rand_with_eps(model, eps_t, eps_e, x_init, engine=engine)
+
+    def step(x, params):
+        ((A, a, Q), e), (et, ee) = params
+        if model.trans.forward:
+            x_next = lgc.conditional_rand(et, x, A, a, Q)
+            yt = em.step_conditional_rand(ee, x_next, e)
+            return yt, x_next
+        yt = em.step_conditional_rand(ee, x, e)
+        x_next = lgc.conditional_rand(et, x, A, a, Q)
+        return yt, x_next
+
+    ys, _ = scan_emit(
+        step, (_step_params(model), (eps_t, eps_e)), x_init,
+        reverse=not model.trans.forward,
+    )
+    return ys
+
+
+# ---------------------------------------------------------------------------
+# posterior (RTS smoother as a Reverse-ordered LGSSM)
+# ---------------------------------------------------------------------------
+
+def _invert_dynamics(first: Gaussian, second: Gaussian, A):
+    """Reversed conditioned dynamics (reference: src/models/lgssm.jl:231-240).
+
+    Returns (A_rev, a_rev, Q_rev) with
+        Gt = second.P^{-1} A first.P
+        A_rev = Gt^T, a_rev = first.m - Gt^T second.m,
+        Q_rev = first.P - Gt^T second.P Gt.
+    """
+    Pf = psd.symmetrize(first.cov)
+    Pp = psd.symmetrize(second.cov) + POSTERIOR_JITTER * jnp.eye(
+        A.shape[-1], dtype=A.dtype
+    )
+    L = psd.cholesky(Pp)
+    Gt = psd.chol_solve(L, A @ Pf)  # (..., D, D)
+    GtT = jnp.swapaxes(Gt, -1, -2)
+    A_rev = GtT
+    a_rev = first.mean - jnp.einsum("...ij,...j->...i", GtT, second.mean)
+    Q_rev = Pf - GtT @ Pp @ Gt
+    return A_rev, a_rev, Q_rev
+
+
+def posterior(model: LGSSM, y, *, engine=None) -> LGSSM:
+    """Filter forward, emitting the inverted dynamics; return the smoother as
+    an LGSSM with reversed ordering whose x0 is the final filtering
+    distribution (reference: src/models/lgssm.jl:193-228)."""
+    engine = _resolve_engine(engine)
+    if engine in ("parallel", "block"):
+        from ..ops import assoc
+
+        return assoc.posterior(model, y, engine=engine)
+
+    def step(x, params):
+        ((A, a, Q), e), yt = params
+        if model.trans.forward:
+            xp = lgc.predict(x, A, a, Q)
+            new_dyn = _invert_dynamics(x, xp, A)
+            xf, _ = em.step_posterior_and_lml(xp, e, yt)
+            return new_dyn, xf
+        xf, _ = em.step_posterior_and_lml(x, e, yt)
+        xp = lgc.predict(xf, A, a, Q)
+        return _invert_dynamics(xp, xf, A), xp
+
+    new_dyn, x_last = scan_emit(
+        step, (_step_params(model), y), model.trans.x0,
+        reverse=not model.trans.forward,
+    )
+    As_rev, as_rev, Qs_rev = new_dyn
+    new_trans = GaussMarkov(
+        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last, forward=not model.trans.forward
+    )
+    return LGSSM(new_trans, model.emis)

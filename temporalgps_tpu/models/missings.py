@@ -1,0 +1,86 @@
+"""Missing-data handling.
+
+The reference's adopted strategy — replace missing observations with
+arbitrary values and *large* observation noise, then subtract the volume
+compensation from the lml (reference: src/models/missings.jl:1-6, 43-53) —
+is also exactly the right strategy under jit: static shapes, no dynamic
+gather/scatter, pure elementwise selects.
+
+Missing observations are encoded as NaN in `y`. `prepare_missings` turns a
+(model, y-with-NaNs) pair into (model-with-inflated-noise, y-zero-filled,
+compensation) where
+
+    compensation = (#missing scalar observations) * log(2*pi*1e15) / 2
+"""
+
+import jax.numpy as jnp
+
+from ..config import LARGE_VAR
+from ..utils.fill import tmaterialize
+from . import emissions as em
+from .lgssm import LGSSM
+
+
+def _volume_compensation(n_missing, dtype):
+    return n_missing * jnp.log(2 * jnp.pi * jnp.asarray(LARGE_VAR, dtype)) / 2
+
+
+def fill_in_missings(noise, y):
+    """Inflate noise and zero-fill observations where y is NaN.
+
+    noise: per-step noise leaf — (N,) scalar variances, (N, Dout) diagonals,
+    or (N, Dout, Dout) dense matrices (inflated on the diagonal, off-diagonal
+    rows/cols of missing entries zeroed).
+    Returns (noise_filled, y_filled, n_missing).
+    """
+    mask = jnp.isnan(y)  # True = missing
+    y_filled = jnp.where(mask, 0.0, y)
+    n_missing = jnp.sum(mask)
+    if noise.ndim == y.ndim:  # scalar or diagonal representation
+        noise_filled = jnp.where(mask, jnp.asarray(LARGE_VAR, noise.dtype), noise)
+    else:  # dense (N, Dout, Dout)
+        keep = (~mask)[..., :, None] & (~mask)[..., None, :]
+        noise_filled = jnp.where(keep, noise, 0.0)
+        diag_fill = jnp.where(
+            mask, jnp.asarray(LARGE_VAR, noise.dtype),
+            jnp.diagonal(noise, axis1=-2, axis2=-1),
+        )
+        idx = jnp.arange(noise.shape[-1])
+        noise_filled = noise_filled.at[..., idx, idx].set(diag_fill)
+    return noise_filled, y_filled, n_missing
+
+
+def replace_observation_noise_cov(model: LGSSM, new_noise) -> LGSSM:
+    """Swap the per-step observation noise leaf
+    (reference: src/models/missings.jl:35-41)."""
+    return LGSSM(model.trans, em.replace_noise_cov(model.emis, new_noise))
+
+
+def transform_model_and_obs(model: LGSSM, y):
+    """(model', y', compensation) with missing entries marginalised out
+    (reference: src/models/missings.jl:25-33, 45-53)."""
+    noise = em.noise_cov(tmaterialize(model.emis))
+    noise_filled, y_filled, n_missing = fill_in_missings(noise, y)
+    comp = _volume_compensation(n_missing, y_filled.dtype)
+    return replace_observation_noise_cov(model, noise_filled), y_filled, comp
+
+
+def logpdf_with_missings(model: LGSSM, y, *, engine=None):
+    from .lgssm import logpdf
+
+    model_f, y_f, comp = transform_model_and_obs(model, y)
+    return logpdf(model_f, y_f, engine=engine) + comp
+
+
+def posterior_with_missings(model: LGSSM, y, *, engine=None):
+    from .lgssm import posterior
+
+    model_f, y_f, _ = transform_model_and_obs(model, y)
+    return posterior(model_f, y_f, engine=engine)
+
+
+def filter_with_missings(model: LGSSM, y, *, engine=None):
+    from .lgssm import filter_
+
+    model_f, y_f, _ = transform_model_and_obs(model, y)
+    return filter_(model_f, y_f, engine=engine)

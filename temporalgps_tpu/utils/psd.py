@@ -1,0 +1,207 @@
+"""Small positive-semi-definite linear algebra primitives.
+
+TPU-native equivalents of the reference's cholesky/quadratic-form helpers
+(reference: src/util/linear_algebra.jl:1-16). All functions are shape-batched:
+they operate on the trailing (D, D) / (D,) axes and broadcast over any leading
+axes, which is how the per-step math of the filter becomes MXU/VPU-friendly
+batched work (contrast with the reference's one-matrix-at-a-time BLAS calls).
+
+For tiny D (the Matern state dims 1/2/3) `jnp.linalg` cholesky/solve lower to
+loops that XLA handles poorly on TPU, so we provide closed-form unrolled
+choleskys and triangular solves for D <= 4 that are pure VPU element-wise code.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import IDENT_EPS
+
+
+def symmetrize(P):
+    """0.5 (P + P^T) on the trailing two axes (reference: util/linear_algebra.jl:1-3)."""
+    return 0.5 * (P + jnp.swapaxes(P, -1, -2))
+
+
+def add_jitter(P, eps=IDENT_EPS):
+    D = P.shape[-1]
+    return P + eps * jnp.eye(D, dtype=P.dtype)
+
+
+def _chol_unrolled(P, D: int):
+    """Closed-form Cholesky for D<=4, elementwise over leading batch axes."""
+    idx = lambda i, j: P[..., i, j]
+    eps = jnp.asarray(0.0, P.dtype)
+    L = [[None] * D for _ in range(D)]
+    for j in range(D):
+        s = idx(j, j)
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = Ljj
+        inv = jnp.where(Ljj > 0, 1.0 / jnp.where(Ljj > 0, Ljj, 1.0), 0.0)
+        for i in range(j + 1, D):
+            s = idx(i, j)
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    rows = []
+    for i in range(D):
+        cols = [L[i][j] if j <= i else jnp.zeros_like(idx(0, 0)) for j in range(D)]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def cholesky(P):
+    """Lower Cholesky factor, batched; unrolled for D <= 4."""
+    D = P.shape[-1]
+    if D <= 4:
+        return _chol_unrolled(P, D)
+    return jnp.linalg.cholesky(P)
+
+
+def _tri_solve_unrolled(L, B, D: int, lower: bool, trans: bool):
+    """Solve op(L) X = B with op(L) triangular, unrolled for D<=4.
+
+    L: (..., D, D) lower-triangular. B: (..., D, K). trans=True solves L^T X = B.
+    """
+    # Represent B rows as list of (..., K)
+    b = [B[..., i, :] for i in range(D)]
+    x = [None] * D
+    if lower != trans:  # forward substitution on effective-lower matrix
+        order = range(D)
+    else:
+        order = range(D - 1, -1, -1)
+    for i in order:
+        s = b[i]
+        if not trans:
+            for j in range(D):
+                if j == i:
+                    continue
+                coeff = L[..., i, j]
+                use = (j < i) if lower else (j > i)
+                if use:
+                    s = s - coeff[..., None] * x[j]
+            x[i] = s / L[..., i, i][..., None]
+        else:
+            for j in range(D):
+                if j == i:
+                    continue
+                coeff = L[..., j, i]
+                use = (j > i) if lower else (j < i)
+                if use:
+                    s = s - coeff[..., None] * x[j]
+            x[i] = s / L[..., i, i][..., None]
+    return jnp.stack(x, axis=-2)
+
+
+def tri_solve(L, B, *, lower=True, trans=False):
+    """Batched triangular solve op(L) X = B on trailing axes."""
+    D = L.shape[-1]
+    if D <= 4:
+        return _tri_solve_unrolled(L, B, D, lower, trans)
+    return jax.scipy.linalg.solve_triangular(
+        L, B, lower=lower, trans=1 if trans else 0
+    )
+
+
+def chol_solve(L, B):
+    """Solve (L L^T) X = B given lower Cholesky L; batched."""
+    return tri_solve(L, tri_solve(L, B, lower=True, trans=False), lower=True, trans=True)
+
+
+def psd_solve(P, B, eps=0.0):
+    """Solve P X = B for symmetric PSD P via Cholesky; batched."""
+    if eps:
+        P = add_jitter(P, eps)
+    return chol_solve(cholesky(symmetrize(P)), B)
+
+
+def _inv_unrolled(P, D: int):
+    """Closed-form inverse via adjugate for D<=3 (pure VPU code)."""
+    if D == 1:
+        return 1.0 / P
+    if D == 2:
+        a, b = P[..., 0, 0], P[..., 0, 1]
+        c, d = P[..., 1, 0], P[..., 1, 1]
+        det = a * d - b * c
+        inv_det = 1.0 / det
+        row0 = jnp.stack([d, -b], axis=-1)
+        row1 = jnp.stack([-c, a], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+    if D == 3:
+        m = lambda i, j: P[..., i, j]
+        c00 = m(1, 1) * m(2, 2) - m(1, 2) * m(2, 1)
+        c01 = m(1, 2) * m(2, 0) - m(1, 0) * m(2, 2)
+        c02 = m(1, 0) * m(2, 1) - m(1, 1) * m(2, 0)
+        det = m(0, 0) * c00 + m(0, 1) * c01 + m(0, 2) * c02
+        c10 = m(0, 2) * m(2, 1) - m(0, 1) * m(2, 2)
+        c11 = m(0, 0) * m(2, 2) - m(0, 2) * m(2, 0)
+        c12 = m(0, 1) * m(2, 0) - m(0, 0) * m(2, 1)
+        c20 = m(0, 1) * m(1, 2) - m(0, 2) * m(1, 1)
+        c21 = m(0, 2) * m(1, 0) - m(0, 0) * m(1, 2)
+        c22 = m(0, 0) * m(1, 1) - m(0, 1) * m(1, 0)
+        adj = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20], axis=-1),
+                jnp.stack([c01, c11, c21], axis=-1),
+                jnp.stack([c02, c12, c22], axis=-1),
+            ],
+            axis=-2,
+        )
+        return adj / det[..., None, None]
+    raise ValueError(D)
+
+
+def small_inv(P):
+    """Batched matrix inverse; adjugate closed form for D<=3, LU otherwise."""
+    D = P.shape[-1]
+    if D <= 3:
+        return _inv_unrolled(P, D)
+    return jnp.linalg.inv(P)
+
+
+def solve_via_inv(P, B):
+    """P^{-1} B using small_inv — used inside associative-scan combines where
+    a fused batched matmul beats a triangular solve on TPU."""
+    return small_inv(P) @ B
+
+
+def logdet_from_chol(L):
+    """log det(L L^T) = 2 sum log diag(L); batched."""
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def diag_Xt_A_X(A, X):
+    """diag(X^T A X) on trailing axes (reference: util/linear_algebra.jl:5-9)."""
+    return jnp.einsum("...ij,...ik,...kj->...j", X, A, X)
+
+
+def diag_At_B(A, B):
+    """diag(A^T B) (reference: util/linear_algebra.jl:14-16)."""
+    return jnp.einsum("...ij,...ij->...j", A, B)
+
+
+def quad_form(A, P):
+    """A P A^T on trailing axes."""
+    return A @ P @ jnp.swapaxes(A, -1, -2)
+
+
+def block_diag(mats):
+    """Dense block-diagonal of a list of (..., Di, Di) matrices
+    (reference: src/gp/lti_sde.jl:440-445). Leading axes must broadcast."""
+    if len(mats) == 1:
+        return mats[0]
+    sizes_r = [m.shape[-2] for m in mats]
+    sizes_c = [m.shape[-1] for m in mats]
+    batch = jnp.broadcast_shapes(*[m.shape[:-2] for m in mats])
+    dtype = jnp.result_type(*[m.dtype for m in mats])
+    out = jnp.zeros(batch + (sum(sizes_r), sum(sizes_c)), dtype)
+    r = c = 0
+    for m, sr, sc in zip(mats, sizes_r, sizes_c):
+        out = out.at[..., r : r + sr, c : c + sc].set(m)
+        r += sr
+        c += sc
+    return out

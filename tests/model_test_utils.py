@@ -1,0 +1,103 @@
+"""Random-model generators for LGSSM tests.
+
+Mirrors the role of the reference's test/models/model_test_utils.jl:163-263:
+parameterised random LGSSMs over (ordering, time-varying?, emission type,
+Dlat, Dobs, N).
+"""
+
+import numpy as np
+
+from temporalgps_tpu.models import (
+    LGSSM,
+    BottleneckEmissions,
+    DenseEmissions,
+    GaussMarkov,
+    LargeEmissions,
+    ScalarEmissions,
+)
+from temporalgps_tpu.utils import Fill, Gaussian
+
+
+def random_psd(rng, D, scale=1.0):
+    X = rng.standard_normal((D, D + 2))
+    return scale * (X @ X.T / (D + 2) + 0.5 * np.eye(D))
+
+
+def random_stable_A(rng, D):
+    A = rng.standard_normal((D, D)) / np.sqrt(D)
+    # keep spectral radius < 1 for well-conditioned chains
+    ev = np.max(np.abs(np.linalg.eigvals(A)))
+    return 0.9 * A / max(ev, 1.0)
+
+
+def random_gauss_markov(rng, D, N, *, time_varying=True, forward=True):
+    if time_varying:
+        As = np.stack([random_stable_A(rng, D) for _ in range(N)])
+        offs = rng.standard_normal((N, D)) * 0.3
+        Qs = np.stack([random_psd(rng, D) for _ in range(N)])
+    else:
+        As = Fill(random_stable_A(rng, D), N)
+        offs = Fill(rng.standard_normal(D) * 0.3, N)
+        Qs = Fill(random_psd(rng, D), N)
+    x0 = Gaussian(rng.standard_normal(D), random_psd(rng, D))
+    return GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=forward)
+
+
+def random_emissions(rng, kind, D, Dout, N, *, time_varying=True):
+    if kind == "scalar":
+        if time_varying:
+            return ScalarEmissions(
+                H=rng.standard_normal((N, D)),
+                h=rng.standard_normal(N) * 0.2,
+                s=0.1 + rng.random(N),
+            )
+        return ScalarEmissions(
+            H=Fill(rng.standard_normal(D), N),
+            h=Fill(np.float64(0.1), N),
+            s=0.1 + rng.random(N),
+        )
+    if kind == "dense":
+        if time_varying:
+            return DenseEmissions(
+                H=rng.standard_normal((N, Dout, D)),
+                h=rng.standard_normal((N, Dout)) * 0.2,
+                S=np.stack([random_psd(rng, Dout, 0.5) for _ in range(N)]),
+            )
+        return DenseEmissions(
+            H=Fill(rng.standard_normal((Dout, D)), N),
+            h=Fill(rng.standard_normal(Dout) * 0.2, N),
+            S=np.stack([random_psd(rng, Dout, 0.5) for _ in range(N)]),
+        )
+    if kind == "large":
+        return LargeEmissions(
+            C=rng.standard_normal((N, Dout, D)),
+            c=rng.standard_normal((N, Dout)) * 0.2,
+            s_diag=0.1 + rng.random((N, Dout)),
+        )
+    if kind == "bottleneck":
+        M = max(1, D - 1)
+        return BottleneckEmissions(
+            H=rng.standard_normal((N, M, D)),
+            h=rng.standard_normal((N, M)) * 0.2,
+            C=rng.standard_normal((N, Dout, M)),
+            c=rng.standard_normal((N, Dout)) * 0.2,
+            s_diag=0.1 + rng.random((N, Dout)),
+        )
+    raise ValueError(kind)
+
+
+def random_lgssm(
+    rng, *, kind="scalar", D=3, Dout=2, N=7, time_varying=True, forward=True
+):
+    trans = random_gauss_markov(rng, D, N, time_varying=time_varying, forward=forward)
+    emis = random_emissions(rng, kind, D, Dout, N, time_varying=time_varying)
+    return LGSSM(trans, emis)
+
+
+def random_obs(rng, model):
+    from temporalgps_tpu.models import emissions as em
+
+    N = len(model)
+    if isinstance(model.emis, ScalarEmissions):
+        return rng.standard_normal(N)
+    return rng.standard_normal((N, em.dim_out(model.emis)))
