@@ -1,0 +1,421 @@
+"""Kernel ADT: dense grams (the O(N^3) oracle) and LTI-SDE atoms.
+
+Re-design of the reference's kernel support (reference: src/gp/lti_sde.jl:
+133-445). The reference pattern-matches KernelFunctions.jl types; here kernels
+are pytree dataclasses whose hyperparameters are traced arrays, so the whole
+kernel tree is differentiable for hyperparameter learning.
+
+Supported temporal kernels (state dim): Matern12 (1), Matern32 (2),
+Matern52 (3), Cosine (2), Constant (1), ApproxPeriodic (2*n_cos), plus the
+combinators Scaled, Stretched, Sum, Product. EQ (squared-exponential) is
+provided for the *spatial* side of separable spatio-temporal kernels (it has
+no finite-dimensional SDE, as in the reference).
+
+TPU-first departure from the reference: discretisation A = expm(F*dt) uses
+*closed forms* per kernel instead of a generic matrix exponential —
+  * Materns: F + lam*I is nilpotent, so expm(F dt) = e^{-lam dt} *
+    sum_{j<d} (F+lam I)^j dt^j / j!   (exact, 2-3 fused terms),
+  * Cosine/ApproxPeriodic: 2x2 rotation blocks,
+  * Product: kron(expm(F1 dt), expm(F2 dt))  [expm of a Kronecker sum],
+  * Stretched: child evaluated at s*dt; Scaled: child unchanged.
+These are exact, differentiable, and vmap/batch onto the VPU/MXU, unlike a
+Pade expm.
+"""
+
+import math
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ..utils import psd
+from ..utils.pytrees import pytree_dataclass
+
+# ---------------------------------------------------------------------------
+# Kernel classes
+# ---------------------------------------------------------------------------
+
+
+class Kernel:
+    """Base class: operator sugar mirroring KernelFunctions' `*`, `+`, `∘`."""
+
+    def __add__(self, other):
+        return Sum(_as_kernel_tuple(self, Sum) + _as_kernel_tuple(other, Sum))
+
+    def __mul__(self, other):
+        if isinstance(other, Kernel):
+            return Product(
+                _as_kernel_tuple(self, Product) + _as_kernel_tuple(other, Product)
+            )
+        return Scaled(self, jnp.asarray(other))
+
+    def __rmul__(self, other):
+        return Scaled(self, jnp.asarray(other))
+
+    def stretch(self, s):
+        """k((s*x), (s*y)) — the reference's `kernel ∘ ScaleTransform(s)`
+        (reference: src/gp/lti_sde.jl:350-373)."""
+        return Stretched(self, jnp.asarray(s))
+
+
+def _as_kernel_tuple(k, cls):
+    return k.kernels if isinstance(k, cls) else (k,)
+
+
+@pytree_dataclass
+class Matern12(Kernel):
+    pass
+
+
+@pytree_dataclass
+class Matern32(Kernel):
+    pass
+
+
+@pytree_dataclass
+class Matern52(Kernel):
+    pass
+
+
+@pytree_dataclass
+class Cosine(Kernel):
+    """k(t, t') = cos(t - t').
+
+    NB the reference inherits KernelFunctions' CosineKernel whose dense gram
+    is cospi(d) while its SDE produces cos(d) — an inconsistency never caught
+    because CosineKernel is absent from the oracle grid
+    (reference: src/gp/lti_sde.jl:239-250 vs KernelFunctions' cospi kappa).
+    We define both gram and SDE as cos(d), self-consistently.
+    """
+
+
+@pytree_dataclass
+class Constant(Kernel):
+    c: Any  # variance of the constant function
+
+
+@pytree_dataclass(static_fields=("n_cos",))
+class ApproxPeriodic(Kernel):
+    """Periodic kernel exp(-sin^2(pi tau) / (2 r^2)) (period 1), approximated
+    by `n_cos` cosine processes with Bessel-function weights
+    (reference: src/gp/lti_sde.jl:255-307, after Benavoli & Corani)."""
+
+    r: Any
+    n_cos: int = 7
+
+
+@pytree_dataclass
+class Scaled(Kernel):
+    kernel: Any
+    sigma2: Any
+
+
+@pytree_dataclass
+class Stretched(Kernel):
+    kernel: Any
+    s: Any
+
+
+@pytree_dataclass
+class Sum(Kernel):
+    kernels: Tuple
+
+
+@pytree_dataclass
+class Product(Kernel):
+    kernels: Tuple
+
+
+@pytree_dataclass
+class EQ(Kernel):
+    """Squared-exponential kernel — spatial use only (no finite SDE)."""
+
+
+# ---------------------------------------------------------------------------
+# Dense grams — the naive O(N^3) oracle (role of AbstractGPs' kernelmatrix)
+# ---------------------------------------------------------------------------
+
+
+def _pairwise_diff(x, y):
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.ndim == 1:
+        return x[:, None] - y[None, :]
+    return x[:, None, :] - y[None, :, :]
+
+
+def _pairwise_dist(x, y):
+    d = _pairwise_diff(x, y)
+    if d.ndim == 2:
+        return jnp.abs(d)
+    return jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+
+
+def gram(k: Kernel, x, y=None):
+    """Dense kernel matrix k(x, y) — test oracle and spatial-kernel engine."""
+    if y is None:
+        y = x
+    if isinstance(k, Matern12):
+        tau = _pairwise_dist(x, y)
+        return jnp.exp(-tau)
+    if isinstance(k, Matern32):
+        tau = _pairwise_dist(x, y) * math.sqrt(3.0)
+        return (1.0 + tau) * jnp.exp(-tau)
+    if isinstance(k, Matern52):
+        tau = _pairwise_dist(x, y) * math.sqrt(5.0)
+        return (1.0 + tau + tau * tau / 3.0) * jnp.exp(-tau)
+    if isinstance(k, Cosine):
+        return jnp.cos(_pairwise_diff(x, y))
+    if isinstance(k, Constant):
+        tau = _pairwise_dist(x, y)
+        return jnp.full_like(tau, 1.0) * k.c
+    if isinstance(k, EQ):
+        tau = _pairwise_dist(x, y)
+        return jnp.exp(-0.5 * tau * tau)
+    if isinstance(k, ApproxPeriodic):
+        tau = _pairwise_diff(x, y)
+        # exact periodic kernel: the n_cos approximation error is ~I_n(x)e^-x,
+        # far below test tolerance for moderate r (see reference test grid).
+        return jnp.exp(-(jnp.sin(jnp.pi * tau) ** 2) / (2.0 * k.r**2))
+    if isinstance(k, Scaled):
+        return k.sigma2 * gram(k.kernel, x, y)
+    if isinstance(k, Stretched):
+        return gram(k.kernel, k.s * jnp.asarray(x), k.s * jnp.asarray(y))
+    if isinstance(k, Sum):
+        return sum(gram(c, x, y) for c in k.kernels)
+    if isinstance(k, Product):
+        out = gram(k.kernels[0], x, y)
+        for c in k.kernels[1:]:
+            out = out * gram(c, x, y)
+        return out
+    raise TypeError(type(k))
+
+
+def gram_diag(k: Kernel, x):
+    """diag(gram(k, x, x)) without the O(N^2) matrix."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    if isinstance(k, (Matern12, Matern32, Matern52, Cosine, EQ)):
+        return jnp.ones(n, x.dtype)
+    if isinstance(k, Constant):
+        return jnp.full(n, 1.0) * k.c
+    if isinstance(k, ApproxPeriodic):
+        return jnp.ones(n, x.dtype)
+    if isinstance(k, Scaled):
+        return k.sigma2 * gram_diag(k.kernel, x)
+    if isinstance(k, Stretched):
+        return gram_diag(k.kernel, k.s * x)
+    if isinstance(k, Sum):
+        return sum(gram_diag(c, x) for c in k.kernels)
+    if isinstance(k, Product):
+        out = gram_diag(k.kernels[0], x)
+        for c in k.kernels[1:]:
+            out = out * gram_diag(c, x)
+        return out
+    raise TypeError(type(k))
+
+
+# ---------------------------------------------------------------------------
+# LTI-SDE atoms: (P_inf, H, transition(dt)) with closed-form discretisation
+# ---------------------------------------------------------------------------
+
+
+class SDEAtoms(NamedTuple):
+    """Stationary covariance P_inf (D, D), emission row H (D,), and the exact
+    discretisation transition(dt) -> (D, D). Together with Q(dt) = P_inf -
+    A P_inf A^T this fully determines the Gauss-Markov chain of the kernel."""
+
+    P_inf: jnp.ndarray
+    H: jnp.ndarray
+    transition: Callable
+
+
+def _matern_atoms(lam: float, d: int, P_inf, dtype) -> SDEAtoms:
+    """Companion-form Matern SDE with eigenvalue -lam of multiplicity d.
+    (F + lam I) is nilpotent of index d, giving the exact closed form
+    expm(F dt) = e^{-lam dt} sum_{j<d} (F + lam I)^j dt^j / j!."""
+    F = jnp.zeros((d, d), dtype)
+    for i in range(d - 1):
+        F = F.at[i, i + 1].set(1.0)
+    binom = [math.comb(d, j) for j in range(d + 1)]
+    for j in range(d):
+        F = F.at[d - 1, j].set(-binom[j] * lam ** (d - j))
+    Nmat = F + lam * jnp.eye(d, dtype=dtype)
+    powers = [jnp.eye(d, dtype=dtype)]
+    for _ in range(d - 1):
+        powers.append(powers[-1] @ Nmat)
+
+    def transition(dt):
+        dtb = jnp.asarray(dt, dtype)[..., None, None]  # (..., 1, 1)
+        acc = powers[0] + jnp.zeros_like(dtb)  # broadcast to (..., d, d)
+        fact = 1.0
+        for j in range(1, d):
+            fact *= j
+            acc = acc + powers[j] * (dtb**j / fact)
+        return jnp.exp(-lam * dtb) * acc
+
+    H = jnp.zeros(d, dtype).at[0].set(1.0)
+    return SDEAtoms(jnp.asarray(P_inf, dtype), H, transition)
+
+
+def _rotation(omega, dt, dtype):
+    """expm(omega * [[0,-1],[1,0]] * dt): 2x2 rotation, batched over dt."""
+    th = jnp.asarray(omega * dt, dtype)
+    c, s = jnp.cos(th), jnp.sin(th)
+    row0 = jnp.stack([c, -s], axis=-1)
+    row1 = jnp.stack([s, c], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def _besseli_scaled(n: int, x, terms: int = 60):
+    """e^{-x} I_n(x) via the ascending series, f64-stable for x <~ 30
+    (the reference calls Bessels.besseli, reference: src/gp/lti_sde.jl:302)."""
+    x = jnp.asarray(x)
+    half = x / 2.0
+    log_half = jnp.log(half)
+    out = 0.0
+    for k in range(terms):
+        logt = (n + 2 * k) * log_half - (
+            math.lgamma(k + 1) + math.lgamma(n + k + 1)
+        )
+        out = out + jnp.exp(logt - x)
+    return out
+
+
+def sde_atoms(k: Kernel, dtype=jnp.float64) -> SDEAtoms:
+    """Recursive SDE construction. Matern/Cosine/Constant constants follow the
+    standard Matern state-space results (reference: src/gp/lti_sde.jl:189-250,
+    311-320; Sarkka & Solin, Applied SDEs, ch. 12)."""
+    if isinstance(k, Matern12):
+        return _matern_atoms(1.0, 1, [[1.0]], dtype)
+    if isinstance(k, Matern32):
+        lam = math.sqrt(3.0)
+        return _matern_atoms(lam, 2, [[1.0, 0.0], [0.0, lam**2]], dtype)
+    if isinstance(k, Matern52):
+        lam = math.sqrt(5.0)
+        kappa = lam**2 / 3.0
+        P = [[1.0, 0.0, -kappa], [0.0, kappa, 0.0], [-kappa, 0.0, lam**4]]
+        return _matern_atoms(lam, 3, P, dtype)
+    if isinstance(k, Cosine):
+        P = jnp.eye(2, dtype=dtype)
+        H = jnp.zeros(2, dtype).at[0].set(1.0)
+        return SDEAtoms(P, H, lambda dt: _rotation(1.0, dt, dtype))
+    if isinstance(k, Constant):
+        P = jnp.asarray(k.c, dtype).reshape(1, 1)
+        H = jnp.ones(1, dtype)
+        one = jnp.ones((1, 1), dtype)
+
+        def trans_const(dt):
+            dt = jnp.asarray(dt, dtype)
+            return jnp.broadcast_to(one, jnp.shape(dt) + (1, 1))
+
+        return SDEAtoms(P, H, trans_const)
+    if isinstance(k, ApproxPeriodic):
+        n = k.n_cos
+        inv_l2 = 1.0 / (4.0 * jnp.asarray(k.r, dtype) ** 2)
+        qs = [
+            (2.0 - (j == 0)) * _besseli_scaled(j, inv_l2) for j in range(n)
+        ]
+        P = psd.block_diag([q * jnp.eye(2, dtype=dtype) for q in qs])
+        H = jnp.tile(jnp.asarray([1.0, 0.0], dtype), n)
+
+        def trans_ap(dt):
+            blocks = [_rotation(2.0 * jnp.pi * j, dt, dtype) for j in range(n)]
+            return psd.block_diag(blocks)
+
+        return SDEAtoms(P, H, trans_ap)
+    if isinstance(k, Scaled):
+        child = sde_atoms(k.kernel, dtype)
+        sigma = jnp.sqrt(jnp.asarray(k.sigma2, dtype))
+        return SDEAtoms(child.P_inf, sigma * child.H, child.transition)
+    if isinstance(k, Stretched):
+        child = sde_atoms(k.kernel, dtype)
+        s = jnp.asarray(k.s, dtype)
+        return SDEAtoms(child.P_inf, child.H, lambda dt: child.transition(s * dt))
+    if isinstance(k, Product):
+        children = [sde_atoms(c, dtype) for c in k.kernels]
+
+        def trans_prod(dt):
+            A = children[0].transition(dt)
+            for c in children[1:]:
+                A = _batched_kron(A, c.transition(dt))
+            return A
+
+        P = children[0].P_inf
+        H = children[0].H
+        for c in children[1:]:
+            P = jnp.kron(P, c.P_inf)
+            H = jnp.kron(H, c.H)
+        return SDEAtoms(P, H, trans_prod)
+    if isinstance(k, Sum):
+        raise TypeError(
+            "Sum kernels are combined at the lgssm_components level "
+            "(block-diagonal direct sum), matching the reference "
+            "(src/gp/lti_sde.jl:404-436)."
+        )
+    raise TypeError(f"no SDE representation for {type(k).__name__}")
+
+
+def _batched_kron(A, B):
+    """kron on the trailing two axes, broadcasting leading axes."""
+    if A.ndim == 2 and B.ndim == 2:
+        return jnp.kron(A, B)
+    ra, ca = A.shape[-2:]
+    rb, cb = B.shape[-2:]
+    out = A[..., :, None, :, None] * B[..., None, :, None, :]
+    return out.reshape(out.shape[:-4] + (ra * rb, ca * cb))
+
+
+def state_dim(k: Kernel) -> int:
+    if isinstance(k, (Matern12, Constant)):
+        return 1
+    if isinstance(k, (Matern32, Cosine)):
+        return 2
+    if isinstance(k, Matern52):
+        return 3
+    if isinstance(k, ApproxPeriodic):
+        return 2 * k.n_cos
+    if isinstance(k, (Scaled, Stretched)):
+        return state_dim(k.kernel)
+    if isinstance(k, Sum):
+        return sum(state_dim(c) for c in k.kernels)
+    if isinstance(k, Product):
+        out = 1
+        for c in k.kernels:
+            out *= state_dim(c)
+        return out
+    raise TypeError(type(k))
+
+
+def to_sde_matrices(k: Kernel, dtype=jnp.float64):
+    """(F, q, H) of the continuous-time SDE, for API parity with the
+    reference's `to_sde(kernel, storage)` (reference: src/gp/lti_sde.jl:
+    189-250). The runtime never uses F directly (closed-form transitions
+    above), but F is exposed for documentation/tests."""
+    import numpy as np
+
+    if isinstance(k, Matern12):
+        return jnp.asarray([[-1.0]], dtype), 2.0, jnp.asarray([1.0], dtype)
+    if isinstance(k, Matern32):
+        lam = math.sqrt(3.0)
+        F = jnp.asarray([[0.0, 1.0], [-(lam**2), -2 * lam]], dtype)
+        return F, 4 * lam**3, jnp.asarray([1.0, 0.0], dtype)
+    if isinstance(k, Matern52):
+        lam = math.sqrt(5.0)
+        F = jnp.asarray(
+            [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [-(lam**3), -3 * lam**2, -3 * lam]],
+            dtype,
+        )
+        return F, 8 * lam**5 / 3.0, jnp.asarray([1.0, 0.0, 0.0], dtype)
+    if isinstance(k, Cosine):
+        F = jnp.asarray([[0.0, -1.0], [1.0, 0.0]], dtype)
+        return F, 0.0, jnp.asarray([1.0, 0.0], dtype)
+    if isinstance(k, Constant):
+        return jnp.zeros((1, 1), dtype), 0.0, jnp.ones(1, dtype)
+    if isinstance(k, Scaled):
+        F, q, H = to_sde_matrices(k.kernel, dtype)
+        sigma = jnp.sqrt(jnp.asarray(k.sigma2, dtype))
+        return F, k.sigma2 * q, sigma * H
+    if isinstance(k, Stretched):
+        F, q, H = to_sde_matrices(k.kernel, dtype)
+        return F * k.s, q, H
+    raise TypeError(type(k))

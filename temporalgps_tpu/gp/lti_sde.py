@@ -1,0 +1,257 @@
+"""to_sde and the kernel -> LGSSM compiler — the public API layer.
+
+Mirror of the reference's L4 (reference: src/gp/lti_sde.jl): a `GP` wrapped by
+`to_sde` becomes an `LTISDE`; indexing it at inputs with observation noise
+gives a `FiniteLTISDE`; `build_lgssm` compiles kernel + inputs into the L3
+`LGSSM` on which all inference runs.
+
+Compilation strategy (TPU-first):
+  * `RegularSpacing` inputs -> a single shared (A, Q) wrapped in `Fill`s —
+    O(1) parameter memory, the reference's time-invariant fast path
+    (reference: src/gp/lti_sde.jl:148-160).
+  * irregular inputs -> batched closed-form transitions over dt (one fused
+    vmap, no per-step expm), (reference path: src/gp/lti_sde.jl:135-146,
+    which calls a generic matrix exponential per step).
+"""
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..config import DEFAULT_NOISE
+from ..models import LGSSM, GaussMarkov, ScalarEmissions
+from ..models import lgssm as lgssm_mod
+from ..models import missings as missings_mod
+from ..utils import psd
+from ..utils.fill import Fill, is_fill, tmaterialize
+from ..utils.gaussian import Gaussian
+from ..utils.pytrees import pytree_dataclass
+from ..utils.regular_spacing import RegularSpacing, num_times, time_array
+from . import kernels as K
+from .means import ConstMean, CustomMean, ZeroMean, mean_vector
+
+
+# ---------------------------------------------------------------------------
+# Storage types (API parity shims)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ArrayStorage:
+    """Dense-array storage tag (reference: src/util/storage_types.jl:42-48).
+    Under jit every shape is static, so the only payload is the dtype."""
+
+    dtype: Any = jnp.float64
+
+
+@dataclasses.dataclass(frozen=True)
+class SArrayStorage:
+    """Static-array storage tag (reference: src/util/storage_types.jl:28-34).
+    Equivalent to ArrayStorage under XLA (all shapes are compile-time static);
+    kept for API parity and benchmark-variant naming."""
+
+    dtype: Any = jnp.float64
+
+
+def _storage_dtype(storage):
+    if storage is None:
+        return jnp.float64
+    if isinstance(storage, (ArrayStorage, SArrayStorage)):
+        return storage.dtype
+    return storage  # raw dtype
+
+
+# ---------------------------------------------------------------------------
+# GP / LTISDE / FiniteLTISDE
+# ---------------------------------------------------------------------------
+
+@pytree_dataclass
+class GP:
+    kernel: Any
+    mean: Any = ZeroMean()
+
+
+@pytree_dataclass(static_fields=("storage",))
+class LTISDE:
+    """A GP marked for state-space inference (reference: src/gp/lti_sde.jl:7-14)."""
+
+    f: GP
+    storage: Any = ArrayStorage()
+
+    def __call__(self, x, noise=None):
+        return FiniteLTISDE(self, x, _canon_noise(noise, x, _storage_dtype(self.storage)))
+
+
+def to_sde(f: GP, storage=None) -> LTISDE:
+    return LTISDE(f, storage if storage is not None else ArrayStorage())
+
+
+def _canon_noise(noise, x, dtype):
+    """Canonical per-time observation variance: Fill for scalar noise,
+    (N,) array otherwise. Default 1e-12 (reference: src/gp/lti_sde.jl:27-29)."""
+    N = num_times(x)
+    if noise is None:
+        return Fill(jnp.asarray(DEFAULT_NOISE, dtype), N)
+    noise = jnp.asarray(noise, dtype)
+    if noise.ndim == 0:
+        return Fill(noise, N)
+    return noise
+
+
+@pytree_dataclass
+class FiniteLTISDE:
+    f: LTISDE
+    x: Any       # RegularSpacing or (N,) array of times
+    noise: Any   # per-time observation variance: Fill or (N,) array
+
+    def __len__(self):
+        return num_times(self.x)
+
+
+# ---------------------------------------------------------------------------
+# kernel -> LGSSM components
+# ---------------------------------------------------------------------------
+
+def _combine_leaves(fn, leaves, N):
+    """Apply a per-step function across a list of per-step leaves, staying
+    lazy when all inputs are Fill."""
+    if all(is_fill(l) for l in leaves):
+        return Fill(fn(*[l.value for l in leaves]), N)
+    import jax
+
+    mat = [
+        jnp.broadcast_to(l.value, (l.N,) + jnp.shape(l.value)) if is_fill(l) else l
+        for l in leaves
+    ]
+    return jax.vmap(fn)(*mat)
+
+
+def broadcast_components(atoms: K.SDEAtoms, x, dtype):
+    """Discretise the SDE over the time grid
+    (reference: src/gp/lti_sde.jl:135-160)."""
+    P = psd.symmetrize(atoms.P_inf)
+    D = P.shape[-1]
+    N = num_times(x)
+    if isinstance(x, RegularSpacing):
+        A = atoms.transition(jnp.asarray(x.dt, dtype))
+        Q = psd.symmetrize(P - A @ P @ A.T)
+        As = Fill(A, N)
+        Qs = Fill(Q, N)
+    else:
+        t = jnp.asarray(x, dtype)
+        # The reference prepends t0 - 1 so the first step has dt = 1; by
+        # stationarity any first dt yields the same first marginal
+        # (reference: src/gp/lti_sde.jl:140).
+        dts = jnp.concatenate([jnp.ones((1,), dtype), jnp.diff(t)])
+        As = atoms.transition(dts)  # (N, D, D) in one fused batch
+        Qs = psd.symmetrize(P - As @ P @ jnp.swapaxes(As, -1, -2))
+    offs = Fill(jnp.zeros(D, dtype), N)
+    Hs = Fill(atoms.H, N)
+    hs = Fill(jnp.zeros((), dtype), N)
+    return As, offs, Qs, Hs, hs
+
+
+def lgssm_components(kernel, x, dtype):
+    """Recursive kernel compiler -> (As, offs, Qs, (Hs, hs), x0)
+    (reference: src/gp/lti_sde.jl:112-174, 334-436)."""
+    N = num_times(x)
+    if isinstance(kernel, K.Sum):
+        parts = [lgssm_components(c, x, dtype) for c in kernel.kernels]
+        As = _combine_leaves(lambda *ms: psd.block_diag(list(ms)), [p[0] for p in parts], N)
+        offs = _combine_leaves(
+            lambda *vs: jnp.concatenate(vs, axis=-1), [p[1] for p in parts], N
+        )
+        Qs = _combine_leaves(lambda *ms: psd.block_diag(list(ms)), [p[2] for p in parts], N)
+        Hs = _combine_leaves(
+            lambda *vs: jnp.concatenate(vs, axis=-1), [p[3][0] for p in parts], N
+        )
+        hs = _combine_leaves(lambda *vs: sum(vs), [p[3][1] for p in parts], N)
+        x0 = Gaussian(
+            jnp.concatenate([p[4].mean for p in parts], axis=-1),
+            psd.block_diag([p[4].cov for p in parts]),
+        )
+        return As, offs, Qs, (Hs, hs), x0
+    if isinstance(kernel, K.Scaled):
+        As, offs, Qs, (Hs, hs), x0 = lgssm_components(kernel.kernel, x, dtype)
+        sigma = jnp.sqrt(jnp.asarray(kernel.sigma2, dtype))
+        Hs = _combine_leaves(lambda H: sigma * H, [Hs], N)
+        hs = _combine_leaves(lambda h: sigma * h, [hs], N)
+        return As, offs, Qs, (Hs, hs), x0
+    if isinstance(kernel, K.Stretched):
+        x_st = (
+            x.stretch(jnp.asarray(kernel.s, dtype))
+            if isinstance(x, RegularSpacing)
+            else jnp.asarray(kernel.s, dtype) * jnp.asarray(x, dtype)
+        )
+        return lgssm_components(kernel.kernel, x_st, dtype)
+    atoms = K.sde_atoms(kernel, dtype)
+    As, offs, Qs, Hs, hs = broadcast_components(atoms, x, dtype)
+    x0 = Gaussian(jnp.zeros(atoms.P_inf.shape[-1], dtype), psd.symmetrize(atoms.P_inf))
+    return As, offs, Qs, (Hs, hs), x0
+
+
+def _add_mean_to_hs(hs, mean_fn, x, dtype, N):
+    """Fold the GP mean into the emission offsets
+    (reference: src/gp/lti_sde.jl:118-131)."""
+    if isinstance(mean_fn, ZeroMean):
+        return hs
+    if isinstance(mean_fn, ConstMean):
+        c = jnp.asarray(mean_fn.c, dtype)
+        return _combine_leaves(lambda h: h + c, [hs], N)
+    m = mean_vector(mean_fn, time_array(x)).astype(dtype)
+    hs_arr = tmaterialize(hs) if is_fill(hs) else hs
+    return hs_arr + m
+
+
+def build_lgssm(fx: FiniteLTISDE) -> LGSSM:
+    """Compile a FiniteLTISDE into an LGSSM
+    (reference: src/gp/lti_sde.jl:71-81)."""
+    f = fx.f
+    dtype = _storage_dtype(f.storage)
+    As, offs, Qs, (Hs, hs), x0 = lgssm_components(f.f.kernel, fx.x, dtype)
+    N = num_times(fx.x)
+    hs = _add_mean_to_hs(hs, f.f.mean, fx.x, dtype, N)
+    emis = ScalarEmissions(H=Hs, h=hs, s=fx.noise)
+    return LGSSM(GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True), emis)
+
+
+# ---------------------------------------------------------------------------
+# AbstractGPs-style verbs on FiniteLTISDE
+# ---------------------------------------------------------------------------
+
+def rand(key, fx: FiniteLTISDE, *, engine=None):
+    """Joint prior sample (reference: src/gp/lti_sde.jl:48-58)."""
+    return lgssm_mod.rand(key, build_lgssm(fx), engine=engine)
+
+
+def logpdf(fx: FiniteLTISDE, y, *, engine=None):
+    """Log marginal likelihood; NaNs in y are missing observations
+    (reference: src/gp/lti_sde.jl:60-68)."""
+    return missings_mod.logpdf_with_missings(build_lgssm(fx), jnp.asarray(y), engine=engine)
+
+
+def marginals(fx: FiniteLTISDE, *, engine=None):
+    """Per-time marginal (means, vars) including observation noise
+    (reference: src/gp/lti_sde.jl:33-35)."""
+    return lgssm_mod.marginals_diag(build_lgssm(fx), engine=engine)
+
+
+def mean_and_var(fx: FiniteLTISDE, *, engine=None):
+    return marginals(fx, engine=engine)
+
+
+def mean(fx: FiniteLTISDE, *, engine=None):
+    return marginals(fx, engine=engine)[0]
+
+
+def var(fx: FiniteLTISDE, *, engine=None):
+    return marginals(fx, engine=engine)[1]
+
+
+def cov(fx: FiniteLTISDE):
+    """Dense prior covariance — O(N^2); naive-path only
+    (reference: src/gp/lti_sde.jl:46)."""
+    t = time_array(fx.x)
+    Kmat = K.gram(fx.f.f.kernel, t)
+    s = tmaterialize(fx.noise) if is_fill(fx.noise) else fx.noise
+    return Kmat + jnp.diag(s)

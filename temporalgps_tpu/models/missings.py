@@ -16,7 +16,7 @@ compensation) where
 import jax.numpy as jnp
 
 from ..config import LARGE_VAR
-from ..utils.fill import tmaterialize
+from ..utils.fill import is_fill
 from . import emissions as em
 from .lgssm import LGSSM
 
@@ -59,7 +59,11 @@ def replace_observation_noise_cov(model: LGSSM, new_noise) -> LGSSM:
 def transform_model_and_obs(model: LGSSM, y):
     """(model', y', compensation) with missing entries marginalised out
     (reference: src/models/missings.jl:25-33, 45-53)."""
-    noise = em.noise_cov(tmaterialize(model.emis))
+    noise = em.noise_cov(model.emis)
+    if is_fill(noise):
+        # Materialise only the noise leaf (lazy broadcast under jit); other
+        # emission leaves stay Fill so the scan engines keep O(1) traffic.
+        noise = jnp.broadcast_to(noise.value, (noise.N,) + jnp.shape(noise.value))
     noise_filled, y_filled, n_missing = fill_in_missings(noise, y)
     comp = _volume_compensation(n_missing, y_filled.dtype)
     return replace_observation_noise_cov(model, noise_filled), y_filled, comp

@@ -1,0 +1,323 @@
+"""Parallel-prefix Kalman filtering/smoothing on `lax.associative_scan`.
+
+The reference's inference loop is strictly sequential
+(reference: src/util/scan.jl:15-28). The latent parallelism of Kalman
+filtering — associativity of the per-step conditioning operators — is the
+basis of this engine, following the 5-tuple element algebra of Sarkka &
+Garcia-Fernandez, "Temporal Parallelization of Bayesian Smoothers" (2021)
+(see PAPERS.md lineage). Depth is O(log N) instead of O(N); every combine
+level is one batch of small dense matmuls that XLA maps onto the MXU/VPU.
+
+Element algebra (covariance form). A filtering element represents the map
+p(x_k | x_{j}, y_{j+1:k}) as (A, b, C, eta, J):
+
+    x_k | x_j ~ N(A x_j + b, C)   reweighted by   exp(eta' x_j - x_j' J x_j / 2)
+
+Composition (i earlier, j later), with M = (I + C_i J_j)^{-1}:
+
+    A = A_j M A_i
+    b = A_j M (b_i + C_i eta_j) + b_j
+    C = A_j M C_i A_j' + C_j
+    eta = A_i' M' (eta_j - J_j b_i) + eta_i
+    J = A_i' M' J_j A_i + J_i
+
+The prior enters as the element (0, m0, P0, 0, 0), so the inclusive prefix at
+position k is exactly the filtering distribution — no special-cased first
+element. The asymmetric inverse M is computed with a closed-form adjugate for
+D <= 3 (pure VPU code, f64-safe on TPU) and a Cholesky congruence
+(I + C J)^{-1} = Lc (I + Lc' J Lc)^{-1} Lc^{-1} for larger D (TPU f64-safe:
+no LU custom call).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import psd
+from ..utils.fill import tmaterialize
+from ..utils.gaussian import Gaussian
+from ..models import emissions as em
+
+
+def _mT(X):
+    return jnp.swapaxes(X, -1, -2)
+
+
+def _minv(C, J):
+    """(I + C J)^{-1}, batched; C, J symmetric PSD."""
+    D = C.shape[-1]
+    I = jnp.eye(D, dtype=C.dtype)
+    M = I + C @ J
+    if D <= 3:
+        return psd.small_inv(M)
+    # Cholesky congruence: C = Lc Lc' (jittered); then
+    # (I + C J)^{-1} = Lc (I + Lc' J Lc)^{-1} Lc^{-1}, SPD inner solve.
+    eps = 1e-10
+    Lc = psd.cholesky(psd.add_jitter(psd.symmetrize(C), eps))
+    S = psd.symmetrize(_mT(Lc) @ J @ Lc) + I
+    Ls = psd.cholesky(S)
+    Lc_inv = psd.tri_solve(Lc, jnp.broadcast_to(I, Lc.shape))
+    return Lc @ psd.chol_solve(Ls, Lc_inv)
+
+
+def _combine_filter(e_i, e_j):
+    """Associative combination of filtering elements (batched)."""
+    A_i, b_i, C_i, eta_i, J_i = e_i
+    A_j, b_j, C_j, eta_j, J_j = e_j
+    M = _minv(C_i, J_j)
+    AjM = A_j @ M
+    A = AjM @ A_i
+    b = jnp.einsum("...ij,...j->...i", AjM, b_i + jnp.einsum("...ij,...j->...i", C_i, eta_j)) + b_j
+    C = psd.symmetrize(AjM @ C_i @ _mT(A_j) + C_j)
+    Mt_Ai = _mT(M) @ A_i  # (I + J_j C_i)^{-1} A_i, since (I+JC) = (I+CJ)'
+    eta = jnp.einsum(
+        "...ji,...j->...i", Mt_Ai, eta_j - jnp.einsum("...ij,...j->...i", J_j, b_i)
+    ) + eta_i
+    J = psd.symmetrize(_mT(Mt_Ai) @ J_j @ A_i + J_i)
+    return (A, b, C, eta, J)
+
+
+def _combine_affine(e_i, e_j):
+    """Associative composition of affine-Gaussian maps (A, b, C):
+    x -> N(A x + b, C). Used for marginals; C omitted for sampling."""
+    A_i, b_i, C_i = e_i
+    A_j, b_j, C_j = e_j
+    A = A_j @ A_i
+    b = jnp.einsum("...ij,...j->...i", A_j, b_i) + b_j
+    C = psd.symmetrize(A_j @ C_i @ _mT(A_j) + C_j)
+    return (A, b, C)
+
+
+def _combine_affine_mean(e_i, e_j):
+    A_i, b_i = e_i
+    A_j, b_j = e_j
+    return (A_j @ A_i, jnp.einsum("...ij,...j->...i", A_j, b_i) + b_j)
+
+
+# ---------------------------------------------------------------------------
+# Iteration-order views of an LGSSM
+# ---------------------------------------------------------------------------
+
+def _flip(tree):
+    return jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), tree)
+
+
+def _iteration_view(model, y=None):
+    """Materialised parameters in *iteration* order with the transition
+    re-alignment that turns both orderings into the same element form.
+
+    Forward models interleave transition-then-update; Reverse models
+    update-then-transition. Shifting the reverse transitions by one (identity
+    first) re-expresses a reverse model in transition-then-update form, so a
+    single element algebra serves both orderings.
+
+    Returns (F_ev, c_ev, Q_ev, F_it, c_it, Q_it, emis_it, y_it) where *_ev are
+    the element-view (shifted for reverse) transitions and *_it the plain
+    iteration-order ones.
+    """
+    t = model.trans
+    F = tmaterialize(t.As)
+    c = tmaterialize(t.offs)
+    Q = tmaterialize(t.Qs)
+    emis = tmaterialize(model.emis)
+    if t.forward:
+        return F, c, Q, F, c, Q, emis, y
+    F_it, c_it, Q_it = jnp.flip(F, 0), jnp.flip(c, 0), jnp.flip(Q, 0)
+    emis_it = _flip(emis)
+    y_it = None if y is None else jnp.flip(jnp.asarray(y), 0)
+    D = F.shape[-1]
+    I = jnp.eye(D, dtype=F.dtype)
+    F_ev = jnp.concatenate([I[None], F_it[:-1]], axis=0)
+    c_ev = jnp.concatenate([jnp.zeros((1, D), c.dtype), c_it[:-1]], axis=0)
+    Q_ev = jnp.concatenate([jnp.zeros((1, D, D), Q.dtype), Q_it[:-1]], axis=0)
+    return F_ev, c_ev, Q_ev, F_it, c_it, Q_it, emis_it, y_it
+
+
+def _unflip(model, arr_tree):
+    if model.trans.forward:
+        return arr_tree
+    return _flip(arr_tree)
+
+
+# ---------------------------------------------------------------------------
+# Element construction
+# ---------------------------------------------------------------------------
+
+def _filter_elements(F, c, Q, emis_it, y_it, x0: Gaussian):
+    """Per-step filtering elements, with the prior element prepended."""
+    D = F.shape[-1]
+    N = F.shape[0]
+    dtype = F.dtype
+    I = jnp.eye(D, dtype=dtype)
+
+    if isinstance(emis_it, em.ScalarEmissions):
+        H, h, s = emis_it.H, emis_it.h, emis_it.s  # (N,D), (N,), (N,)
+        S = jnp.einsum("ni,nij,nj->n", H, Q, H) + s
+        K = jnp.einsum("nij,nj->ni", Q, H) / S[:, None]  # (N, D)
+        ImKH = I - K[:, :, None] * H[:, None, :]
+        A_e = ImKH @ F
+        resid = y_it - (jnp.einsum("ni,ni->n", H, c) + h)
+        b_e = c + K * resid[:, None]
+        C_e = psd.symmetrize(ImKH @ Q)
+        w = jnp.einsum("nji,nj->ni", F, H)  # F' H
+        eta_e = w * (resid / S)[:, None]
+        J_e = psd.symmetrize(w[:, :, None] * w[:, None, :] / S[:, None, None])
+    else:
+        H, d, R = _dense_emission_params(emis_it)
+        S = psd.symmetrize(H @ Q @ _mT(H) + R)
+        Ls = psd.cholesky(S)
+        K = _mT(psd.chol_solve(Ls, H @ Q))  # (N, D, Dout)
+        ImKH = I - K @ H
+        A_e = ImKH @ F
+        resid = y_it - (jnp.einsum("nij,nj->ni", H, c) + d)
+        b_e = c + jnp.einsum("nij,nj->ni", K, resid)
+        C_e = psd.symmetrize(ImKH @ Q)
+        HtSinv = _mT(psd.chol_solve(Ls, H))  # (N, D, Dout) = H' S^{-1}
+        FtH = _mT(F) @ HtSinv  # (N, D, Dout)
+        eta_e = jnp.einsum("nij,nj->ni", FtH, resid)
+        J_e = psd.symmetrize(FtH @ H @ F)
+
+    prior = (
+        jnp.zeros((1, D, D), dtype),
+        x0.mean[None].astype(dtype),
+        psd.symmetrize(x0.cov)[None].astype(dtype),
+        jnp.zeros((1, D), dtype),
+        jnp.zeros((1, D, D), dtype),
+    )
+    elems = (A_e, b_e, C_e, eta_e, J_e)
+    return tuple(
+        jnp.concatenate([p, e], axis=0) for p, e in zip(prior, elems)
+    )
+
+
+def _dense_emission_params(emis_it):
+    """(H, d, R) dense per-step for vector-output emissions."""
+    if isinstance(emis_it, em.DenseEmissions):
+        return emis_it.H, emis_it.h, emis_it.S
+    if isinstance(emis_it, em.LargeEmissions):
+        R = emis_it.s_diag[..., None] * jnp.eye(
+            emis_it.s_diag.shape[-1], dtype=emis_it.s_diag.dtype
+        )
+        return emis_it.C, emis_it.c, R
+    if isinstance(emis_it, em.BottleneckEmissions):
+        # Effective A = C H, a = C h + c (exact composition).
+        A = emis_it.C @ emis_it.H
+        d = jnp.einsum("nij,nj->ni", emis_it.C, emis_it.h) + emis_it.c
+        R = emis_it.s_diag[..., None] * jnp.eye(
+            emis_it.s_diag.shape[-1], dtype=emis_it.s_diag.dtype
+        )
+        return A, d, R
+    raise TypeError(type(emis_it))
+
+
+def _filter_prefix(model, y):
+    """Inclusive filtering prefixes in iteration order.
+
+    Returns (outs, ev, it, emis_it, y_it) where outs is a Gaussian with N+1
+    leading entries: outs[0] = x0, outs[k] = filtering distribution after the
+    k-th update.
+    """
+    F_ev, c_ev, Q_ev, F_it, c_it, Q_it, emis_it, y_it = _iteration_view(model, y)
+    elems = _filter_elements(F_ev, c_ev, Q_ev, emis_it, y_it, model.trans.x0)
+    scanned = jax.lax.associative_scan(_combine_filter, elems, axis=0)
+    _, b, C, _, _ = scanned
+    outs = Gaussian(b, C)
+    return outs, (F_ev, c_ev, Q_ev), (F_it, c_it, Q_it), emis_it, y_it
+
+
+def _batched_predict(x: Gaussian, F, c, Q) -> Gaussian:
+    m = jnp.einsum("nij,nj->ni", F, x.mean) + c
+    P = psd.symmetrize(F @ psd.symmetrize(x.cov) @ _mT(F) + Q)
+    return Gaussian(m, P)
+
+
+# ---------------------------------------------------------------------------
+# Public engine entry points (same semantics as models.lgssm sequential)
+# ---------------------------------------------------------------------------
+
+def filter_(model, y) -> Gaussian:
+    outs, _, _, _, _ = _filter_prefix(model, y)
+    xf = Gaussian(outs.mean[1:], outs.cov[1:])
+    return _unflip(model, xf)
+
+
+def logpdf(model, y):
+    outs, (F_ev, c_ev, Q_ev), _, emis_it, y_it = _filter_prefix(model, y)
+    prev = Gaussian(outs.mean[:-1], outs.cov[:-1])
+    pre = _batched_predict(prev, F_ev, c_ev, Q_ev)
+    _, lmls = em.step_posterior_and_lml(pre, emis_it, y_it)
+    return jnp.sum(lmls)
+
+
+def latent_marginals(model, *, engine="parallel") -> Gaussian:
+    """Marginals of the latent chain via affine-composition prefix scan."""
+    F_ev, c_ev, Q_ev, F_it, c_it, Q_it, emis_it, _ = _iteration_view(model)
+    x0 = model.trans.x0
+    D = F_ev.shape[-1]
+    dtype = F_ev.dtype
+    prior = (
+        jnp.zeros((1, D, D), dtype),
+        x0.mean[None].astype(dtype),
+        psd.symmetrize(x0.cov)[None].astype(dtype),
+    )
+    elems = tuple(
+        jnp.concatenate([p, e], axis=0)
+        for p, e in zip(prior, (F_ev, c_ev, Q_ev))
+    )
+    A, b, C = jax.lax.associative_scan(_combine_affine, elems, axis=0)
+    if model.trans.forward:
+        xs = Gaussian(b[1:], C[1:])
+    else:
+        # Reverse ordering emits the pre-transition state (reference:
+        # lgssm.jl:111-114): prefixes 0..N-1.
+        xs = Gaussian(b[:-1], C[:-1])
+    return _unflip(model, xs)
+
+
+def rand_with_eps(model, eps_t, eps_e, x_init, *, engine="parallel"):
+    """Joint sample via affine-mean prefix composition."""
+    F_ev, c_ev, Q_ev, F_it, c_it, Q_it, emis_it, _ = _iteration_view(model)
+    if not model.trans.forward:
+        eps_t = jnp.flip(eps_t, 0)
+        eps_e = jnp.flip(eps_e, 0)
+        # align noise with the shifted element-view transitions
+        eps_t = jnp.concatenate([jnp.zeros_like(eps_t[:1]), eps_t[:-1]], axis=0)
+    Lq = psd.cholesky(psd.add_jitter(psd.symmetrize(Q_ev), 1e-9))
+    b = c_ev + jnp.einsum("nij,nj->ni", Lq, eps_t)
+    D = F_ev.shape[-1]
+    dtype = F_ev.dtype
+    prior = (jnp.zeros((1, D, D), dtype), x_init[None].astype(dtype))
+    elems = tuple(
+        jnp.concatenate([p, e], axis=0) for p, e in zip(prior, (F_ev, b))
+    )
+    _, states = jax.lax.associative_scan(_combine_affine_mean, elems, axis=0)
+    xs = states[1:] if model.trans.forward else states[:-1]
+    ys = em.step_conditional_rand(eps_e, xs, emis_it)
+    return _unflip(model, ys)
+
+
+def posterior(model, y, *, engine="parallel"):
+    """Parallel construction of the smoother-as-reverse-LGSSM: prefix filter
+    + batched dynamics inversion (reference semantics: lgssm.jl:193-240)."""
+    from ..models.gauss_markov import GaussMarkov
+    from ..models.lgssm import LGSSM, _invert_dynamics
+
+    outs, (F_ev, c_ev, Q_ev), (F_it, c_it, Q_it), emis_it, y_it = _filter_prefix(
+        model, y
+    )
+    u = Gaussian(outs.mean[1:], outs.cov[1:])       # post-update, iteration order
+    prev = Gaussian(outs.mean[:-1], outs.cov[:-1])  # pre-element states
+
+    if model.trans.forward:
+        xp = _batched_predict(prev, F_ev, c_ev, Q_ev)
+        new_dyn = jax.vmap(_invert_dynamics)(prev, xp, F_ev)
+        x_last = Gaussian(outs.mean[-1], outs.cov[-1])
+    else:
+        xp = _batched_predict(u, F_it, c_it, Q_it)
+        new_dyn = jax.vmap(_invert_dynamics)(xp, u, F_it)
+        x_last = Gaussian(xp.mean[-1], xp.cov[-1])
+
+    As_rev, as_rev, Qs_rev = _unflip(model, new_dyn)
+    new_trans = GaussMarkov(
+        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last, forward=not model.trans.forward
+    )
+    return LGSSM(new_trans, model.emis)

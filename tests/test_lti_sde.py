@@ -1,0 +1,156 @@
+"""API-layer oracle tests: state-space GP vs the naive dense GP.
+
+Mirrors the reference's central test (test/gp/lti_sde.jl:87-201): the same
+model built twice — dense O(N^3) gram path and to_sde state-space path —
+must agree on marginals and logpdf to tight tolerance, across a
+kernel x mean x spacing x noise grid.
+"""
+
+import numpy as np
+import pytest
+
+from temporalgps_tpu import RegularSpacing
+from temporalgps_tpu.gp import (
+    GP,
+    ApproxPeriodic,
+    ConstMean,
+    Constant,
+    Cosine,
+    CustomMean,
+    Matern12,
+    Matern32,
+    Matern52,
+    ZeroMean,
+    dense,
+    logpdf,
+    marginals,
+    rand,
+    to_sde,
+)
+
+N = 13
+
+
+def KERNELS():
+    return [
+        ("matern12", Matern12()),
+        ("matern32", Matern32()),
+        ("matern52", Matern52()),
+        ("cosine", Cosine()),
+        ("constant", Constant(1.3)),
+        ("scaled", 0.5 * Matern32()),
+        ("stretched", Matern32().stretch(1.1)),
+        ("scaled-stretched", 1.5 * Matern12().stretch(0.1)),
+        ("approx-periodic", ApproxPeriodic(1.0)),
+        ("product", (1.5 * Matern52() * Matern32()).stretch(0.99)),
+        ("product-constant", 3.0 * Matern32() * Matern52() * Constant(1.0)),
+        ("sum", 1.5 * Matern12().stretch(0.1) + 0.3 * Matern32().stretch(1.1)),
+        ("sum3", 2.0 * Matern32() + 0.5 * Matern52() + Constant(1.0)),
+    ]
+
+
+def SPACINGS(rng):
+    xs = np.sort(rng.uniform(0.0, 4.0, N))
+    return [
+        ("regular", RegularSpacing(0.0, 0.3, N)),
+        ("irregular", xs),
+    ]
+
+
+def NOISES(rng):
+    return [
+        ("homoscedastic", 0.1),
+        ("heteroscedastic", 0.1 + rng.random(N)),
+    ]
+
+
+MEANS = [
+    ("zero", ZeroMean()),
+    ("const", ConstMean(3.0)),
+    ("custom", CustomMean(lambda x: 2.0 * x)),
+]
+
+
+def _check_case(rng, kernel, mean_fn, x, noise, rtol=1e-7):
+    f = to_sde(GP(kernel, mean_fn))
+    fx = f(x, noise)
+    m_got, v_got = marginals(fx)
+    m_want, v_want = dense.dense_marginals(fx)
+    np.testing.assert_allclose(np.asarray(m_got), np.asarray(m_want), rtol=rtol, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_want), rtol=rtol, atol=1e-8)
+    y = rng.standard_normal(N) + np.asarray(m_want)
+    lp_got = float(logpdf(fx, y))
+    lp_want = float(dense.dense_logpdf(fx, y))
+    np.testing.assert_allclose(lp_got, lp_want, rtol=rtol, atol=1e-6)
+
+
+@pytest.mark.parametrize("kname,kernel", KERNELS(), ids=[k for k, _ in KERNELS()])
+def test_prior_vs_dense_kernel_grid(rng, kname, kernel):
+    for sname, x in SPACINGS(rng):
+        _check_case(rng, kernel, ZeroMean(), x, 0.1)
+
+
+@pytest.mark.parametrize("mname,mean_fn", MEANS, ids=[m for m, _ in MEANS])
+def test_prior_vs_dense_means_and_noise(rng, mname, mean_fn):
+    for sname, x in SPACINGS(rng):
+        for nname, noise in NOISES(rng):
+            _check_case(rng, Matern32(), mean_fn, x, noise)
+
+
+def test_rand_shapes_and_moments(rng):
+    import jax
+
+    f = to_sde(GP(Matern52(), ConstMean(1.0)))
+    x = RegularSpacing(0.0, 0.25, N)
+    fx = f(x, 0.3)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3000)
+    ys = np.asarray(jax.vmap(lambda k: rand(k, fx))(keys))
+    assert ys.shape == (3000, N)
+    m, v = marginals(fx)
+    np.testing.assert_allclose(ys.mean(0), np.asarray(m), atol=0.12)
+    np.testing.assert_allclose(ys.var(0), np.asarray(v), rtol=0.15)
+
+
+def test_logpdf_missing_data(rng):
+    """NaNs are treated as missing: logpdf must equal the dense logpdf of the
+    observed subset (reference: test/models/missings.jl semantics)."""
+    f = to_sde(GP(Matern32()))
+    xs = np.sort(rng.uniform(0.0, 4.0, N))
+    noise = 0.1 + rng.random(N)
+    fx = f(xs, noise)
+    y = rng.standard_normal(N)
+    missing_idx = np.asarray([2, 5, 6])
+    y_miss = y.copy()
+    y_miss[missing_idx] = np.nan
+    lp_got = float(logpdf(fx, y_miss))
+    keep = np.setdiff1d(np.arange(N), missing_idx)
+    fx_obs = f(xs[keep], noise[keep])
+    lp_want = float(dense.dense_logpdf(fx_obs, y[keep]))
+    np.testing.assert_allclose(lp_got, lp_want, rtol=1e-6, atol=1e-6)
+
+
+def test_gradients_logpdf_hyperparams(rng):
+    """Reverse-mode gradient of logpdf w.r.t. kernel hyperparameters exists,
+    is finite, and matches finite differences (role of Mooncake test_rule,
+    reference: test/test_util.jl:34-57)."""
+    import jax
+    import jax.numpy as jnp
+
+    xs = np.sort(rng.uniform(0.0, 4.0, N))
+    y = rng.standard_normal(N)
+
+    def loss(log_params):
+        s2, scale, noise = jnp.exp(log_params)
+        kern = (s2 * Matern52()).stretch(scale)
+        fx = to_sde(GP(kern))(xs, noise)
+        return logpdf(fx, y)
+
+    p0 = jnp.zeros(3)
+    g = jax.grad(loss)(p0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    eps = 1e-6
+    for i in range(3):
+        d = np.zeros(3)
+        d[i] = eps
+        fd = (loss(p0 + d) - loss(p0 - d)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4, atol=1e-6)
