@@ -65,14 +65,15 @@ def _combine_filter(e_i, e_j):
     A_j, b_j, C_j, eta_j, J_j = e_j
     M = _minv(C_i, J_j)
     AjM = A_j @ M
-    A = AjM @ A_i
+    MAi = M @ A_i
+    A = A_j @ MAi
     b = jnp.einsum("...ij,...j->...i", AjM, b_i + jnp.einsum("...ij,...j->...i", C_i, eta_j)) + b_j
     C = psd.symmetrize(AjM @ C_i @ _mT(A_j) + C_j)
-    Mt_Ai = _mT(M) @ A_i  # (I + J_j C_i)^{-1} A_i, since (I+JC) = (I+CJ)'
+    # A_i' (I + J_j C_i)^{-1} = A_i' M' = (M A_i)'  since (I+JC) = (I+CJ)'.
     eta = jnp.einsum(
-        "...ji,...j->...i", Mt_Ai, eta_j - jnp.einsum("...ij,...j->...i", J_j, b_i)
+        "...ji,...j->...i", MAi, eta_j - jnp.einsum("...ij,...j->...i", J_j, b_i)
     ) + eta_i
-    J = psd.symmetrize(_mT(Mt_Ai) @ J_j @ A_i + J_i)
+    J = psd.symmetrize(_mT(MAi) @ J_j @ A_i + J_i)
     return (A, b, C, eta, J)
 
 
@@ -264,12 +265,10 @@ def latent_marginals(model, *, engine="parallel") -> Gaussian:
         for p, e in zip(prior, (F_ev, c_ev, Q_ev))
     )
     A, b, C = jax.lax.associative_scan(_combine_affine, elems, axis=0)
-    if model.trans.forward:
-        xs = Gaussian(b[1:], C[1:])
-    else:
-        # Reverse ordering emits the pre-transition state (reference:
-        # lgssm.jl:111-114): prefixes 0..N-1.
-        xs = Gaussian(b[:-1], C[:-1])
+    # The identity-prepended element view already encodes the
+    # emit-before-transition semantics of Reverse ordering (reference:
+    # lgssm.jl:111-114), so prefixes 1..N are correct for both orderings.
+    xs = Gaussian(b[1:], C[1:])
     return _unflip(model, xs)
 
 
@@ -290,7 +289,7 @@ def rand_with_eps(model, eps_t, eps_e, x_init, *, engine="parallel"):
         jnp.concatenate([p, e], axis=0) for p, e in zip(prior, (F_ev, b))
     )
     _, states = jax.lax.associative_scan(_combine_affine_mean, elems, axis=0)
-    xs = states[1:] if model.trans.forward else states[:-1]
+    xs = states[1:]  # identity-prepend handles both orderings, as above
     ys = em.step_conditional_rand(eps_e, xs, emis_it)
     return _unflip(model, ys)
 
