@@ -1,0 +1,215 @@
+"""Block-parallel Kalman engine: the TPU speed-of-light path for huge N.
+
+The pure associative-scan engine (ops/assoc.py) materialises 5-tuple elements
+and makes O(log N) passes over them in HBM. This engine restructures the same
+element algebra into a two-level scheme that makes ~2 passes over the data and
+keeps the per-step math as big batched einsums:
+
+  Phase 1  reshape time into (L, B) [B blocks of length L]; one `lax.scan`
+           over L with the B blocks as a batch axis, sequentially combining
+           filtering elements *within* each block -> B block-aggregate
+           elements. Carry-only: O(B) memory, elements never hit HBM.
+  Phase 2  prefix-combine the B aggregates (+ prior element) with a tiny
+           associative scan -> exact filtering state at each block start.
+  Phase 3  one more `lax.scan` over L, running the *plain* Kalman recursion
+           inside every block in parallel from its exact start state,
+           accumulating the per-block lml (carry-only) or emitting states.
+
+Time-invariant (`Fill`) parameters stay closed over, so a RegularSpacing
+Matern model reads only y (+ O(B) element state) from HBM: the engine is
+bandwidth-optimal. A remainder tail of N mod B steps runs sequentially.
+
+Reverse-ordered models fall back to the associative engine (they arise for
+posteriors, whose construction is already parallel there).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..models import emissions as em
+from ..ops import lgc
+from ..utils import psd
+from ..utils.fill import Fill, is_fill, scan_emit, time_length
+from ..utils.gaussian import Gaussian
+from . import assoc
+
+
+def _default_blocks(N: int) -> int:
+    """Pick a block count: large enough to feed the VPU/MXU, small enough to
+    keep the phase-1/3 scan short. ~sqrt(N)*8, power of two, capped."""
+    b = 1
+    target = int(8 * (N ** 0.5))
+    while b * 2 <= min(target, 8192):
+        b *= 2
+    return max(b, 1)
+
+
+def _split_tree(tree, B, L):
+    """Array leaves (N,...) -> (L, B, ...) for scanning; Fill leaves survive
+    as Fills of length L (still closed over)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree, is_leaf=is_fill)
+
+    def go(l):
+        if is_fill(l):
+            return Fill(l.value, L)
+        head = l[: B * L].reshape((B, L) + l.shape[1:])
+        return jnp.swapaxes(head, 0, 1)
+
+    return jax.tree_util.tree_unflatten(treedef, [go(l) for l in leaves])
+
+
+def _tail_tree(tree, start):
+    leaves, treedef = jax.tree_util.tree_flatten(tree, is_leaf=is_fill)
+
+    def go(l):
+        if is_fill(l):
+            return Fill(l.value, l.N - start)
+        return l[start:]
+
+    return jax.tree_util.tree_unflatten(treedef, [go(l) for l in leaves])
+
+
+def _step_element(params, D, dtype):
+    """Filtering element of a single step, batched over leading axes.
+    Same algebra as assoc._filter_elements but on a per-step slice."""
+    ((A, a, Q), e), yt = params
+    I = jnp.eye(D, dtype=dtype)
+    if isinstance(e, em.ScalarEmissions):
+        H, h, s = e.H, e.h, e.s
+        S = jnp.einsum("...i,...ij,...j->...", H, Q, H) + s
+        K = jnp.einsum("...ij,...j->...i", Q, H) / S[..., None]
+        ImKH = I - K[..., :, None] * H[..., None, :]
+        A_e = ImKH @ A
+        resid = yt - (jnp.einsum("...i,...i->...", H, a) + h)
+        b_e = a + K * resid[..., None]
+        C_e = psd.symmetrize(ImKH @ Q)
+        w = jnp.einsum("...ji,...j->...i", A, H)
+        eta_e = w * (resid / S)[..., None]
+        J_e = psd.symmetrize(
+            w[..., :, None] * w[..., None, :] / S[..., None, None]
+        )
+        return (A_e, b_e, C_e, eta_e, J_e)
+    raise TypeError(
+        "block engine currently supports scalar emissions; "
+        f"got {type(e).__name__} (use engine='parallel')"
+    )
+
+
+def _mT(X):
+    return jnp.swapaxes(X, -1, -2)
+
+
+def _identity_element(B, D, dtype):
+    return (
+        jnp.broadcast_to(jnp.eye(D, dtype=dtype), (B, D, D)),
+        jnp.zeros((B, D), dtype),
+        jnp.zeros((B, D, D), dtype),
+        jnp.zeros((B, D), dtype),
+        jnp.zeros((B, D, D), dtype),
+    )
+
+
+def _supports(model) -> bool:
+    return model.trans.forward and isinstance(model.emis, em.ScalarEmissions)
+
+
+def _prepare(model, y, n_blocks):
+    N = len(model)
+    B = n_blocks or _default_blocks(N)
+    B = min(B, N)
+    L = N // B
+    params = ((model.trans.As, model.trans.offs, model.trans.Qs), model.emis)
+    blocked = _split_tree((params, jnp.asarray(y)), B, L)
+    tail = _tail_tree((params, jnp.asarray(y)), B * L)
+    return N, B, L, blocked, tail
+
+
+def block_filter_states(model, y, *, n_blocks=None):
+    """Exact filtering state at each block start (phase 1 + 2).
+
+    Returns (B, L, blocked_params, tail_params, starts) where starts is a
+    Gaussian with leading axis B+1: starts[b] is the filtering distribution
+    just before block b; starts[B] feeds the tail.
+    """
+    D = model.latent_dim
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    N, B, L, blocked, tail = _prepare(model, y, n_blocks)
+
+    def phase1_step(carry, sl):
+        elem = _step_element(sl, D, dtype)
+        return None, assoc._combine_filter(carry, elem)
+
+    _, agg = scan_emit(phase1_step, blocked, _identity_element(B, D, dtype))
+
+    # Phase 2: prefix over the B aggregates with the prior prepended.
+    prior = (
+        jnp.zeros((1, D, D), dtype),
+        x0.mean[None].astype(dtype),
+        psd.symmetrize(x0.cov)[None].astype(dtype),
+        jnp.zeros((1, D), dtype),
+        jnp.zeros((1, D, D), dtype),
+    )
+    elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
+    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    starts = Gaussian(pref[1], pref[2])  # (B+1, D) / (B+1, D, D)
+    return B, L, blocked, tail, starts
+
+
+def logpdf(model, y, *, n_blocks=None):
+    if not _supports(model):
+        return assoc.logpdf(model, y)
+    D = model.latent_dim
+    dtype = model.trans.x0.dtype
+    B, L, blocked, tail, starts = block_filter_states(model, y, n_blocks=n_blocks)
+
+    # Phase 3: plain Kalman recursion inside each block, lml carry only.
+    def phase3_step(carry, sl):
+        x, acc = carry
+        ((A, a, Q), e), yt = sl
+        xp = lgc.predict(x, A, a, Q)
+        xf, lml = em.step_posterior_and_lml(xp, e, yt)
+        return None, (xf, acc + lml)
+
+    init = (Gaussian(starts.mean[:-1], starts.cov[:-1]), jnp.zeros((B,), dtype))
+    _, (_, lml_blocks) = scan_emit(phase3_step, blocked, init)
+    total = jnp.sum(lml_blocks)
+
+    # Sequential tail from the post-block state.
+    if time_length(tail) > 0:
+        x_tail = Gaussian(starts.mean[-1], starts.cov[-1])
+
+        def tail_step(x, sl):
+            ((A, a, Q), e), yt = sl
+            xp = lgc.predict(x, A, a, Q)
+            xf, lml = em.step_posterior_and_lml(xp, e, yt)
+            return lml, xf
+
+        lmls, _ = scan_emit(tail_step, tail, x_tail)
+        total = total + jnp.sum(lmls)
+    return total
+
+
+def filter_(model, y, *, n_blocks=None):
+    if not _supports(model):
+        return assoc.filter_(model, y)
+    D = model.latent_dim
+    B, L, blocked, tail, starts = block_filter_states(model, y, n_blocks=n_blocks)
+
+    def phase3_step(x, sl):
+        ((A, a, Q), e), yt = sl
+        xp = lgc.predict(x, A, a, Q)
+        xf, _ = em.step_posterior_and_lml(xp, e, yt)
+        return xf, xf
+
+    init = Gaussian(starts.mean[:-1], starts.cov[:-1])
+    xs_blocked, _ = scan_emit(phase3_step, blocked, init)  # (L, B, ...)
+    mean = jnp.swapaxes(xs_blocked.mean, 0, 1).reshape((B * L, D))
+    cov = jnp.swapaxes(xs_blocked.cov, 0, 1).reshape((B * L, D, D))
+
+    if time_length(tail) > 0:
+        x_tail = Gaussian(starts.mean[-1], starts.cov[-1])
+        xs_tail, _ = scan_emit(phase3_step, tail, x_tail)
+        mean = jnp.concatenate([mean, xs_tail.mean], axis=0)
+        cov = jnp.concatenate([cov, xs_tail.cov], axis=0)
+    return Gaussian(mean, cov)
