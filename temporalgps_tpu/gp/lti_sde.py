@@ -128,25 +128,34 @@ def _combine_leaves(fn, leaves, N):
 
 def broadcast_components(atoms: K.SDEAtoms, x, dtype):
     """Discretise the SDE over the time grid
-    (reference: src/gp/lti_sde.jl:135-160)."""
-    P = psd.symmetrize(atoms.P_inf)
+    (reference: src/gp/lti_sde.jl:135-160).
+
+    The discretisation Q = P_inf - A P_inf A^T cancels catastrophically at
+    small dt, so it is always evaluated in float64 and then cast to the
+    storage dtype — the float32 storage path keeps a float64-accurate model,
+    like the reference's heapF32/stackF32 variants which discretise in the
+    storage type but with exact expm (bench/single_output_gps.jl).
+    """
+    hi = jnp.float64
+    P = psd.symmetrize(atoms.P_inf).astype(hi)
     D = P.shape[-1]
     N = num_times(x)
     if isinstance(x, RegularSpacing):
-        A = atoms.transition(jnp.asarray(x.dt, dtype))
+        A = atoms.transition(jnp.asarray(x.dt, hi)).astype(hi)
         Q = psd.symmetrize(P - A @ P @ A.T)
-        As = Fill(A, N)
-        Qs = Fill(Q, N)
+        As = Fill(A.astype(dtype), N)
+        Qs = Fill(Q.astype(dtype), N)
     else:
-        t = jnp.asarray(x, dtype)
+        t = jnp.asarray(x, hi)
         # The reference prepends t0 - 1 so the first step has dt = 1; by
         # stationarity any first dt yields the same first marginal
         # (reference: src/gp/lti_sde.jl:140).
-        dts = jnp.concatenate([jnp.ones((1,), dtype), jnp.diff(t)])
-        As = atoms.transition(dts)  # (N, D, D) in one fused batch
-        Qs = psd.symmetrize(P - As @ P @ jnp.swapaxes(As, -1, -2))
+        dts = jnp.concatenate([jnp.ones((1,), hi), jnp.diff(t)])
+        As_hi = atoms.transition(dts).astype(hi)  # (N, D, D) in one fused batch
+        Qs = psd.symmetrize(P - As_hi @ P @ jnp.swapaxes(As_hi, -1, -2)).astype(dtype)
+        As = As_hi.astype(dtype)
     offs = Fill(jnp.zeros(D, dtype), N)
-    Hs = Fill(atoms.H, N)
+    Hs = Fill(atoms.H.astype(dtype), N)
     hs = Fill(jnp.zeros((), dtype), N)
     return As, offs, Qs, Hs, hs
 
@@ -184,9 +193,14 @@ def lgssm_components(kernel, x, dtype):
             else jnp.asarray(kernel.s, dtype) * jnp.asarray(x, dtype)
         )
         return lgssm_components(kernel.kernel, x_st, dtype)
-    atoms = K.sde_atoms(kernel, dtype)
+    # Atoms are always built in float64 (discretisation accuracy); the
+    # storage dtype is applied by broadcast_components.
+    atoms = K.sde_atoms(kernel, jnp.float64)
     As, offs, Qs, Hs, hs = broadcast_components(atoms, x, dtype)
-    x0 = Gaussian(jnp.zeros(atoms.P_inf.shape[-1], dtype), psd.symmetrize(atoms.P_inf))
+    x0 = Gaussian(
+        jnp.zeros(atoms.P_inf.shape[-1], dtype),
+        psd.symmetrize(atoms.P_inf).astype(dtype),
+    )
     return As, offs, Qs, (Hs, hs), x0
 
 

@@ -20,13 +20,15 @@ scalar a, Q, matching the reference's ScalarOutputLGC adjoint-vector A
 (reference: linear_gaussian_conditionals.jl:225-257).
 """
 
+import math
+
 import jax.numpy as jnp
 
 from ..config import POSTERIOR_JITTER, RAND_JITTER
 from ..utils import psd
 from ..utils.gaussian import Gaussian
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 def _mT(X):
@@ -84,7 +86,7 @@ def posterior_and_lml_small(x: Gaussian, A, a, Q, y):
     innov = y - (jnp.einsum("...ij,...j->...i", A, m) + a)
     alpha = psd.tri_solve(L, innov[..., None])[..., 0]
     lml = -0.5 * (
-        Dout * _LOG2PI.astype(m.dtype)
+        Dout * _LOG2PI
         + psd.logdet_from_chol(L)
         + jnp.sum(alpha * alpha, axis=-1)
     )
@@ -109,7 +111,7 @@ def posterior_and_lml_scalar(x: Gaussian, H, h, s, y):
     sqrtS = jnp.sqrt(S)
     B = V / sqrtS[..., None]
     alpha = (y - (jnp.einsum("...j,...j->...", H, m) + h)) / sqrtS
-    lml = -0.5 * (_LOG2PI.astype(m.dtype) + 2.0 * jnp.log(sqrtS) + alpha * alpha)
+    lml = -0.5 * (_LOG2PI + 2.0 * jnp.log(sqrtS) + alpha * alpha)
     m_post = m + B * alpha[..., None]
     P_post = P - B[..., :, None] * B[..., None, :]
     return Gaussian(m_post, P_post), lml
@@ -160,7 +162,7 @@ def posterior_and_lml_large(x: Gaussian, A, a, Q_diag, y):
     lml = -0.5 * (
         jnp.sum(delta * delta, axis=-1)
         - jnp.sum(beta * beta, axis=-1)
-        + Dout * _LOG2PI.astype(dtype)
+        + Dout * _LOG2PI
         + psd.logdet_from_chol(Lf)
         + logdet_Q
     )
