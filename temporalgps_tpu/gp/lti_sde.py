@@ -87,15 +87,29 @@ def to_sde(f: GP, storage=None) -> LTISDE:
 
 
 def _canon_noise(noise, x, dtype):
-    """Canonical per-time observation variance: Fill for scalar noise,
-    (N,) array otherwise. Default 1e-12 (reference: src/gp/lti_sde.jl:27-29)."""
-    N = num_times(x)
+    """Canonical per-observation variance: Fill for scalar noise, flat array
+    otherwise. Default 1e-12 (reference: src/gp/lti_sde.jl:27-29)."""
+    N = _flat_len(x)
     if noise is None:
         return Fill(jnp.asarray(DEFAULT_NOISE, dtype), N)
     noise = jnp.asarray(noise, dtype)
     if noise.ndim == 0:
         return Fill(noise, N)
     return noise
+
+
+def _flat_len(x) -> int:
+    if _is_grid(x):
+        from ..space_time import grids
+
+        return grids.flat_len(x)
+    return num_times(x)
+
+
+def _is_grid(x) -> bool:
+    from ..space_time import grids
+
+    return isinstance(x, (grids.RectilinearGrid, grids.RegularInTime))
 
 
 @pytree_dataclass
@@ -219,7 +233,12 @@ def _add_mean_to_hs(hs, mean_fn, x, dtype, N):
 
 def build_lgssm(fx: FiniteLTISDE) -> LGSSM:
     """Compile a FiniteLTISDE into an LGSSM
-    (reference: src/gp/lti_sde.jl:71-81)."""
+    (reference: src/gp/lti_sde.jl:71-81). Grid inputs route to the
+    spatio-temporal compiler (reference: src/space_time/to_gauss_markov.jl)."""
+    if _is_grid(fx.x):
+        from ..space_time import builder
+
+        return builder.build_lgssm_spacetime(fx)
     f = fx.f
     dtype = _storage_dtype(f.storage)
     As, offs, Qs, (Hs, hs), x0 = lgssm_components(f.f.kernel, fx.x, dtype)
@@ -233,21 +252,39 @@ def build_lgssm(fx: FiniteLTISDE) -> LGSSM:
 # AbstractGPs-style verbs on FiniteLTISDE
 # ---------------------------------------------------------------------------
 
+def _to_time_form(x, y):
+    if _is_grid(x):
+        from ..space_time import grids
+
+        return grids.observations_to_time_form(x, y)
+    return y
+
+
+def _destructure(x, ys):
+    if _is_grid(x):
+        from ..space_time import grids
+
+        return grids.destructure(x, ys)
+    return ys
+
+
 def rand(key, fx: FiniteLTISDE, *, engine=None):
-    """Joint prior sample (reference: src/gp/lti_sde.jl:48-58)."""
-    return lgssm_mod.rand(key, build_lgssm(fx), engine=engine)
+    """Joint prior sample, flat-form (reference: src/gp/lti_sde.jl:48-58)."""
+    return _destructure(fx.x, lgssm_mod.rand(key, build_lgssm(fx), engine=engine))
 
 
 def logpdf(fx: FiniteLTISDE, y, *, engine=None):
     """Log marginal likelihood; NaNs in y are missing observations
     (reference: src/gp/lti_sde.jl:60-68)."""
-    return missings_mod.logpdf_with_missings(build_lgssm(fx), jnp.asarray(y), engine=engine)
+    y_tf = _to_time_form(fx.x, jnp.asarray(y))
+    return missings_mod.logpdf_with_missings(build_lgssm(fx), y_tf, engine=engine)
 
 
 def marginals(fx: FiniteLTISDE, *, engine=None):
-    """Per-time marginal (means, vars) including observation noise
-    (reference: src/gp/lti_sde.jl:33-35)."""
-    return lgssm_mod.marginals_diag(build_lgssm(fx), engine=engine)
+    """Per-observation marginal (means, vars) including observation noise,
+    flat-form (reference: src/gp/lti_sde.jl:33-35)."""
+    m, v = lgssm_mod.marginals_diag(build_lgssm(fx), engine=engine)
+    return _destructure(fx.x, m), _destructure(fx.x, v)
 
 
 def mean_and_var(fx: FiniteLTISDE, *, engine=None):

@@ -1,0 +1,59 @@
+"""Spatio-temporal LGSSM builder: grid FiniteLTISDE -> LGSSM."""
+
+import jax.numpy as jnp
+
+from ..gp import kernels as K
+from ..gp.means import ConstMean, ZeroMean
+from ..models import LGSSM, DenseEmissions, GaussMarkov
+from ..utils.fill import is_fill
+from . import grids
+from .to_gauss_markov import lgssm_components_spacetime
+
+
+def _contains_dtc(kernel) -> bool:
+    from .pseudo_point import DTCSeparable
+
+    if isinstance(kernel, DTCSeparable):
+        return True
+    if isinstance(kernel, (K.Scaled, K.Stretched)):
+        return _contains_dtc(kernel.kernel)
+    if isinstance(kernel, (K.Sum, K.Product)):
+        return any(_contains_dtc(c) for c in kernel.kernels)
+    return False
+
+
+def build_lgssm_spacetime(fx) -> LGSSM:
+    from ..gp.lti_sde import _storage_dtype
+
+    f = fx.f
+    dtype = _storage_dtype(f.storage)
+    kernel = f.f.kernel
+    x = fx.x
+
+    noise_flat = fx.noise
+    if is_fill(noise_flat):
+        noise_flat = jnp.broadcast_to(noise_flat.value, (noise_flat.N,))
+    noise_tf = grids.noise_var_to_time_form(x, noise_flat)  # (Nt, Ns)
+
+    if _contains_dtc(kernel):
+        from .pseudo_point import build_dtc_lgssm
+
+        return build_dtc_lgssm(kernel, x, noise_tf, f.f.mean, dtype)
+
+    As, offs, Qs, (Hs, hs), x0 = lgssm_components_spacetime(kernel, x, dtype)
+    Nt = grids.n_time(x)
+
+    mean_fn = f.f.mean
+    if isinstance(mean_fn, ConstMean):
+        from ..gp.lti_sde import _combine_leaves
+
+        c = jnp.asarray(mean_fn.c, dtype)
+        hs = _combine_leaves(lambda h: h + c, [hs], Nt)
+    elif not isinstance(mean_fn, ZeroMean):
+        raise NotImplementedError(
+            "spatio-temporal models support ZeroMean/ConstMean mean functions"
+        )
+
+    S_dense = noise_tf[..., None] * jnp.eye(noise_tf.shape[-1], dtype=dtype)
+    emis = DenseEmissions(H=Hs, h=hs, S=S_dense)
+    return LGSSM(GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True), emis)

@@ -1,0 +1,203 @@
+"""Spatio-temporal layer tests: exact separable inference vs dense oracle,
+DTC/ELBO vs dense Titsias formulas
+(reference: test/space_time/to_gauss_markov.jl, pseudo_point.jl)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from temporalgps_tpu import RegularSpacing
+from temporalgps_tpu.gp import EQ, GP, Matern32, Matern52, to_sde
+from temporalgps_tpu.gp import logpdf, marginals, rand
+from temporalgps_tpu.space_time import (
+    RectilinearGrid,
+    Separable,
+    approx_posterior_marginals,
+    dtc,
+    elbo,
+    regular_in_time,
+)
+from temporalgps_tpu.space_time.separable import gram_grid
+
+NS, NT = 4, 6
+
+
+def _grid_setup(rng, regular=True):
+    xl = np.sort(rng.uniform(-2.0, 2.0, NS))
+    xr = RegularSpacing(0.0, 0.4, NT) if regular else np.sort(rng.uniform(0, 3, NT))
+    k = Separable(EQ(), Matern32())
+    f = to_sde(GP(k))
+    x = RectilinearGrid(jnp.asarray(xl), xr)
+    noise = 0.25 + rng.random(NS * NT) * 0.1
+    return f, x, noise, k
+
+
+def _dense_logpdf(C, y):
+    L = np.linalg.cholesky(C)
+    a = np.linalg.solve(L, y)
+    return -0.5 * (len(y) * np.log(2 * np.pi) + 2 * np.sum(np.log(np.diag(L))) + a @ a)
+
+
+@pytest.mark.parametrize("regular", [True, False])
+def test_exact_spacetime_vs_dense(rng, regular):
+    f, x, noise, k = _grid_setup(rng, regular)
+    fx = f(x, noise)
+    Kmat = np.asarray(gram_grid(k, x)) + np.diag(noise)
+    y = rng.standard_normal(NS * NT)
+
+    lp = float(logpdf(fx, y))
+    np.testing.assert_allclose(lp, _dense_logpdf(Kmat, y), rtol=1e-7, atol=1e-7)
+
+    m, v = marginals(fx)
+    np.testing.assert_allclose(np.asarray(m), np.zeros(NS * NT), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v), np.diag(Kmat), rtol=1e-7, atol=1e-8)
+
+
+def test_exact_spacetime_scaled_sum(rng):
+    """Scaled and Sum combinators over Separable kernels."""
+    xl = np.sort(rng.uniform(-2.0, 2.0, NS))
+    x = RectilinearGrid(jnp.asarray(xl), RegularSpacing(0.0, 0.4, NT))
+    k = 0.7 * Separable(EQ(), Matern32()) + 0.3 * Separable(EQ(), Matern52())
+    f = to_sde(GP(k))
+    noise = 0.3
+    fx = f(x, noise)
+    Kmat = (
+        0.7 * np.asarray(gram_grid(Separable(EQ(), Matern32()), x))
+        + 0.3 * np.asarray(gram_grid(Separable(EQ(), Matern52()), x))
+        + noise * np.eye(NS * NT)
+    )
+    y = rng.standard_normal(NS * NT)
+    np.testing.assert_allclose(float(logpdf(fx, y)), _dense_logpdf(Kmat, y), rtol=1e-7)
+    m, v = marginals(fx)
+    np.testing.assert_allclose(np.asarray(v), np.diag(Kmat), rtol=1e-7, atol=1e-8)
+
+
+def test_exact_spacetime_engines_match(rng):
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    lp_seq = float(logpdf(fx, y, engine="sequential"))
+    lp_par = float(logpdf(fx, y, engine="parallel"))
+    np.testing.assert_allclose(lp_par, lp_seq, rtol=1e-9)
+
+
+def test_exact_spacetime_rand(rng):
+    import jax
+
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    ys = np.asarray(rand(jax.random.PRNGKey(0), fx))
+    assert ys.shape == (NS * NT,)
+    assert np.all(np.isfinite(ys))
+
+
+def _dtc_dense(Kff, Kuf, Kuu, noise, y):
+    """Dense DTC log-evidence: log N(y; 0, Qff + Sigma)."""
+    Q = Kuf.T @ np.linalg.solve(Kuu + 1e-12 * np.eye(len(Kuu)), Kuf)
+    return _dense_logpdf(Q + np.diag(noise), y)
+
+
+def test_dtc_vs_dense(rng):
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    z = np.sort(rng.uniform(-2.0, 2.0, 3))
+
+    got = float(dtc(fx, y, jnp.asarray(z)))
+
+    import temporalgps_tpu.gp.kernels as K
+
+    t = np.asarray(x.xr.to_array())
+    Kt = np.asarray(K.gram(Matern32(), t))
+    Kr_uf = np.asarray(K.gram(EQ(), z, np.asarray(x.xl)))
+    Kr_uu = np.asarray(K.gram(EQ(), z))
+    Kuf = np.kron(Kt, Kr_uf)  # inducing replicated at each time
+    Kuu = np.kron(Kt, Kr_uu)
+    Kff = np.asarray(gram_grid(k, x))
+    want = _dtc_dense(Kff, Kuf, Kuu, noise, y)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_dtc_with_all_inducing_equals_exact(rng):
+    """With z = all spatial points, DTC == exact logpdf."""
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    got = float(dtc(fx, y, x.xl))
+    want = float(logpdf(fx, y))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_elbo_vs_dense(rng):
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    z = np.sort(rng.uniform(-2.0, 2.0, 3))
+    got = float(elbo(fx, y, jnp.asarray(z)))
+
+    import temporalgps_tpu.gp.kernels as K
+
+    t = np.asarray(x.xr.to_array())
+    Kt = np.asarray(K.gram(Matern32(), t))
+    Kr_uf = np.asarray(K.gram(EQ(), z, np.asarray(x.xl)))
+    Kr_uu = np.asarray(K.gram(EQ(), z))
+    Kuf = np.kron(Kt, Kr_uf)
+    Kuu = np.kron(Kt, Kr_uu)
+    Kff = np.asarray(gram_grid(k, x))
+    Q = Kuf.T @ np.linalg.solve(Kuu + 1e-12 * np.eye(len(Kuu)), Kuf)
+    want = _dense_logpdf(Q + np.diag(noise), y) - 0.5 * np.sum(
+        np.diag(Kff - Q) / noise
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_elbo_lower_bounds_logpdf(rng):
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    z = np.sort(rng.uniform(-2.0, 2.0, 3))
+    assert float(elbo(fx, y, jnp.asarray(z))) <= float(logpdf(fx, y)) + 1e-8
+
+
+def test_approx_posterior_marginals_with_full_inducing(rng):
+    """z = all spatial points -> DTC posterior == exact posterior."""
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    m, v = approx_posterior_marginals(fx, y, x.xl, x.xl)
+
+    # Dense exact posterior of the latent f at the same grid points.
+    Kff = np.asarray(gram_grid(k, x))
+    C = Kff + np.diag(noise)
+    sol = np.linalg.solve(C, y)
+    m_want = Kff @ sol
+    cov_want = Kff - Kff @ np.linalg.solve(C, Kff)
+    np.testing.assert_allclose(np.asarray(m), m_want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.diag(cov_want), rtol=1e-4, atol=1e-6)
+
+
+def test_ragged_regular_in_time(rng):
+    """RegularInTime (ragged) DTC: matches a RectilinearGrid when slices are
+    complete, and runs finite when ragged."""
+    f, x, noise, k = _grid_setup(rng)
+    y = rng.standard_normal(NS * NT)
+    z = np.sort(rng.uniform(-2.0, 2.0, 3))
+    fx_grid = f(x, noise)
+
+    vs = [np.asarray(x.xl) for _ in range(NT)]
+    x_rit = regular_in_time(np.asarray(x.xr.to_array()), vs)
+    fx_rit = f(x_rit, noise)
+    lp_grid = float(dtc(fx_grid, y, jnp.asarray(z)))
+    lp_rit = float(dtc(fx_rit, y, jnp.asarray(z)))
+    np.testing.assert_allclose(lp_rit, lp_grid, rtol=1e-6)
+
+    # genuinely ragged
+    counts = [NS, NS - 1, NS, NS - 2, NS, NS - 1]
+    vs_r = [np.asarray(x.xl)[:c] for c in counts]
+    x_rag = regular_in_time(np.asarray(x.xr.to_array()), vs_r)
+    n_obs = sum(counts)
+    y_r = rng.standard_normal(n_obs)
+    fx_rag = f(x_rag, 0.3)
+    val = float(elbo(fx_rag, y_r, jnp.asarray(z)))
+    assert np.isfinite(val)
