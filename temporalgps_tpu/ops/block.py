@@ -124,6 +124,25 @@ def _prepare(model, y, n_blocks):
     return N, B, L, blocked, tail
 
 
+def _phase1_aggregates(blocked, B, D, dtype):
+    def phase1_step(carry, sl):
+        elem = _step_element(sl, D, dtype)
+        return None, assoc._combine_filter(carry, elem)
+
+    _, agg = scan_emit(phase1_step, blocked, _identity_element(B, D, dtype))
+    return agg
+
+
+def _prior_element(x0: Gaussian, D, dtype):
+    return (
+        jnp.zeros((1, D, D), dtype),
+        x0.mean[None].astype(dtype),
+        psd.symmetrize(x0.cov)[None].astype(dtype),
+        jnp.zeros((1, D), dtype),
+        jnp.zeros((1, D, D), dtype),
+    )
+
+
 def block_filter_states(model, y, *, n_blocks=None):
     """Exact filtering state at each block start (phase 1 + 2).
 
@@ -136,24 +155,95 @@ def block_filter_states(model, y, *, n_blocks=None):
     dtype = x0.dtype
     N, B, L, blocked, tail = _prepare(model, y, n_blocks)
 
-    def phase1_step(carry, sl):
-        elem = _step_element(sl, D, dtype)
-        return None, assoc._combine_filter(carry, elem)
-
-    _, agg = scan_emit(phase1_step, blocked, _identity_element(B, D, dtype))
+    agg = _phase1_aggregates(blocked, B, D, dtype)
 
     # Phase 2: prefix over the B aggregates with the prior prepended.
-    prior = (
-        jnp.zeros((1, D, D), dtype),
-        x0.mean[None].astype(dtype),
-        psd.symmetrize(x0.cov)[None].astype(dtype),
-        jnp.zeros((1, D), dtype),
-        jnp.zeros((1, D, D), dtype),
-    )
+    prior = _prior_element(x0, D, dtype)
     elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
     pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
     starts = Gaussian(pref[1], pref[2])  # (B+1, D) / (B+1, D, D)
     return B, L, blocked, tail, starts
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level API — used per-device by the multi-chip sharded engine
+# ---------------------------------------------------------------------------
+
+def chunk_total_element(params_y, D, dtype, *, n_blocks=None):
+    """Total filtering element of a parameter chunk.
+
+    params_y = (((As, offs, Qs), emis), y) with a local time axis. Combines
+    all per-step elements (blocked phase 1 + fold) into ONE element
+    representing p(x_end | x_start, y_chunk) — the quantity exchanged between
+    devices by the distributed filter.
+    """
+    N = time_length(params_y)
+    B = min(n_blocks or _default_blocks(N), N)
+    L = N // B
+    blocked = _split_tree(params_y, B, L)
+    tail = _tail_tree(params_y, B * L)
+
+    agg = _phase1_aggregates(blocked, B, D, dtype)  # leaves (B, ...)
+
+    single_ident = (
+        jnp.eye(D, dtype=dtype),
+        jnp.zeros((D,), dtype),
+        jnp.zeros((D, D), dtype),
+        jnp.zeros((D,), dtype),
+        jnp.zeros((D, D), dtype),
+    )
+
+    def fold(carry, e):
+        return assoc._combine_filter(carry, e), None
+
+    total, _ = jax.lax.scan(fold, single_ident, agg)
+
+    if time_length(tail) > 0:
+        def fold_tail(carry, sl):
+            return None, assoc._combine_filter(carry, _step_element(sl, D, dtype))
+
+        _, total = scan_emit(fold_tail, tail, total)
+    return total
+
+
+def chunk_logpdf_from_start(params_y, start: Gaussian, D, dtype, *, n_blocks=None):
+    """Sum of per-step lmls over a chunk given the exact filtering
+    distribution at the chunk start."""
+    N = time_length(params_y)
+    B = min(n_blocks or _default_blocks(N), N)
+    L = N // B
+    blocked = _split_tree(params_y, B, L)
+    tail = _tail_tree(params_y, B * L)
+
+    agg = _phase1_aggregates(blocked, B, D, dtype)
+    prior = _prior_element(start, D, dtype)
+    elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
+    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    starts = Gaussian(pref[1], pref[2])
+
+    def phase3_step(carry, sl):
+        x, acc = carry
+        ((A, a, Q), e), yt = sl
+        xp = lgc.predict(x, A, a, Q)
+        xf, lml = em.step_posterior_and_lml(xp, e, yt)
+        return None, (xf, acc + lml)
+
+    init = (Gaussian(starts.mean[:-1], starts.cov[:-1]), jnp.zeros((B,), dtype))
+    _, (_, lml_blocks) = scan_emit(phase3_step, blocked, init)
+    total = jnp.sum(lml_blocks)
+
+    if time_length(tail) > 0:
+        x_tail = Gaussian(starts.mean[-1], starts.cov[-1])
+
+        def tail_step(x, sl):
+            ((A, a, Q), e), yt = sl
+            xp = lgc.predict(x, A, a, Q)
+            xf, lml = em.step_posterior_and_lml(xp, e, yt)
+            return lml, xf
+
+        lmls, _ = scan_emit(tail_step, tail, x_tail)
+        total = total + jnp.sum(lmls)
+    return total
 
 
 def logpdf(model, y, *, n_blocks=None):
