@@ -57,15 +57,79 @@ def _noise_array(noise, N):
     return jnp.asarray(noise)
 
 
+def _is_grid(x) -> bool:
+    from ..space_time import grids
+
+    return isinstance(x, (grids.RectilinearGrid, grids.RegularInTime))
+
+
+def _times_of(x):
+    from ..space_time import grids
+
+    if _is_grid(x):
+        return np.asarray(time_array(grids.get_times(x)))
+    return np.asarray(time_array(x))
+
+
 def _same_inputs(x1, x2) -> bool:
-    t1 = np.asarray(time_array(x1))
-    t2 = np.asarray(time_array(x2))
+    if _is_grid(x1) != _is_grid(x2):
+        return False
+    if _is_grid(x1):
+        from ..space_time import grids
+
+        if not isinstance(x1, grids.RectilinearGrid) or not isinstance(
+            x2, grids.RectilinearGrid
+        ):
+            return False
+        s1, s2 = np.asarray(x1.xl), np.asarray(x2.xl)
+        if s1.shape != s2.shape or not np.all(s1 == s2):
+            return False
+    t1, t2 = _times_of(x1), _times_of(x2)
     return t1.shape == t2.shape and bool(np.all(t1 == t2))
+
+
+def _build_inference_data_grid(fp: PosteriorLTISDE, x_pr):
+    """Grid variant: merge along time only — the spatial grids must agree, as
+    in the reference (reference: rectilinear_grid.jl:64-69 merge_inputs).
+    Index arrays refer to flat (space-fastest) positions."""
+    from ..space_time import grids
+
+    assert isinstance(fp.x, grids.RectilinearGrid) and isinstance(
+        x_pr, grids.RectilinearGrid
+    ), "grid posterior prediction requires RectilinearGrid inputs"
+    s_tr, s_pr = np.asarray(fp.x.xl), np.asarray(x_pr.xl)
+    if s_tr.shape != s_pr.shape or not np.all(s_tr == s_pr):
+        raise ValueError("Space coords of inputs not compatible, cannot merge.")
+    Ns = s_tr.shape[0]
+    t_tr, t_pr = _times_of(fp.x), _times_of(x_pr)
+    nt_tr, nt_pr = len(t_tr), len(t_pr)
+    t_all = np.concatenate([t_tr, t_pr])
+    order = np.argsort(t_all, kind="stable")
+    rank = np.argsort(order, kind="stable")
+    # flat (space-fastest) index blocks per time slice
+    flat_of_time = lambda ranks: np.concatenate(
+        [np.arange(Ns) + r * Ns for r in ranks]
+    )
+    tr_idx = flat_of_time(rank[:nt_tr])
+    pr_idx = flat_of_time(rank[nt_tr:])
+
+    x_sorted = grids.RectilinearGrid(fp.x.xl, jnp.asarray(t_all[order]))
+    n_tr_flat = nt_tr * Ns
+    noise_tr = _noise_array(fp.noise, n_tr_flat)
+    noise_all_flat = jnp.zeros((len(t_all) * Ns,), noise_tr.dtype)
+    noise_all_flat = noise_all_flat.at[jnp.asarray(tr_idx)].set(noise_tr)
+    noise_all_flat = noise_all_flat.at[jnp.asarray(pr_idx)].set(LARGE_VAR)
+    y_tr = jnp.asarray(fp.y)
+    y_all_flat = jnp.full((len(t_all) * Ns,), jnp.nan, y_tr.dtype)
+    y_all_flat = y_all_flat.at[jnp.asarray(tr_idx)].set(y_tr)
+    return x_sorted, noise_all_flat, y_all_flat, tr_idx, pr_idx
 
 
 def _build_inference_data(fp: PosteriorLTISDE, x_pr):
     """Merged, time-sorted (x, noise, y-with-NaNs, tr_idx, pr_idx)
     (reference: posterior_lti_sde.jl:87-131)."""
+    if _is_grid(fp.x) or _is_grid(x_pr):
+        return _build_inference_data_grid(fp, x_pr)
     t_tr = np.asarray(time_array(fp.x))
     t_pr = np.asarray(time_array(x_pr))
     n_tr, n_pr = len(t_tr), len(t_pr)
@@ -86,37 +150,87 @@ def _build_inference_data(fp: PosteriorLTISDE, x_pr):
     return x_sorted, noise_all, y_all, tr_idx, pr_idx
 
 
+def _to_time_form(x, y):
+    if _is_grid(x):
+        from ..space_time import grids
+
+        return grids.observations_to_time_form(x, y)
+    return y
+
+
+def _noise_time_form(x, noise_flat):
+    if _is_grid(x):
+        from ..space_time import grids
+
+        return grids.noise_var_to_time_form(x, noise_flat)
+    return noise_flat
+
+
+def _destructure(x, ys):
+    if _is_grid(x):
+        from ..space_time import grids
+
+        return grids.destructure(x, ys)
+    return ys
+
+
+def _flat_len(x) -> int:
+    if _is_grid(x):
+        from ..space_time import grids
+
+        return grids.flat_len(x)
+    return num_times(x)
+
+
+def _noise_leaf_like(model, x, noise_flat):
+    """Time-form noise in the representation the model's emissions use
+    (dense per-time matrices for grid DenseEmissions, flat for scalar)."""
+    from ..models.emissions import DenseEmissions
+
+    tf = _noise_time_form(x, noise_flat)
+    if isinstance(model.emis, DenseEmissions):
+        return tf[..., None] * jnp.eye(tf.shape[-1], dtype=tf.dtype)
+    return tf
+
+
 def _posterior_model(fp, x_sorted, noise_all, y_all, noise_pred_full, *, engine=None):
     model = build_lgssm(fp.prior(x_sorted, noise_all))
-    post = missings_mod.posterior_with_missings(model, y_all, engine=engine)
-    return missings_mod.replace_observation_noise_cov(post, noise_pred_full)
+    y_tf = _to_time_form(x_sorted, y_all)
+    post = missings_mod.posterior_with_missings(model, y_tf, engine=engine)
+    return missings_mod.replace_observation_noise_cov(
+        post, _noise_leaf_like(model, x_sorted, noise_pred_full)
+    )
 
 
-def _pred_noise_full(pr_idx, N, noise_pr, dtype):
+def _pred_noise_full(pr_idx, n_flat, noise_pr, dtype):
     """Zeros at training indices, prediction noise at prediction indices
-    (reference: posterior_lti_sde.jl:136-146)."""
-    out = jnp.zeros((N,), dtype)
+    (reference: posterior_lti_sde.jl:136-146). Flat form."""
+    out = jnp.zeros((n_flat,), dtype)
     return out.at[jnp.asarray(pr_idx)].set(_noise_array(noise_pr, len(pr_idx)))
 
 
 def marginals(fxp: FinitePosteriorLTISDE, *, engine=None):
-    """Posterior marginal (means, vars) at fxp.x
+    """Posterior marginal (means, vars) at fxp.x, flat form
     (reference: posterior_lti_sde.jl:18-37)."""
     fp = fxp.f
     dtype = _storage_dtype(fp.prior.storage)
     if _same_inputs(fxp.x, fp.x):
         model = build_lgssm(fp.prior(fp.x, fp.noise))
-        post = missings_mod.posterior_with_missings(model, fp.y, engine=engine)
-        post = missings_mod.replace_observation_noise_cov(
-            post, _noise_array(fxp.noise, num_times(fxp.x))
+        post = missings_mod.posterior_with_missings(
+            model, _to_time_form(fp.x, fp.y), engine=engine
         )
-        return lgssm_mod.marginals_diag(post, engine=engine)
+        post = missings_mod.replace_observation_noise_cov(
+            post,
+            _noise_leaf_like(model, fxp.x, _noise_array(fxp.noise, _flat_len(fxp.x))),
+        )
+        m, v = lgssm_mod.marginals_diag(post, engine=engine)
+        return _destructure(fxp.x, m), _destructure(fxp.x, v)
     x_sorted, noise_all, y_all, tr_idx, pr_idx = _build_inference_data(fp, fxp.x)
-    noise_pred_full = _pred_noise_full(pr_idx, len(x_sorted), fxp.noise, dtype)
+    noise_pred_full = _pred_noise_full(pr_idx, _flat_len(x_sorted), fxp.noise, dtype)
     post = _posterior_model(fp, x_sorted, noise_all, y_all, noise_pred_full, engine=engine)
     m, v = lgssm_mod.marginals_diag(post, engine=engine)
     idx = jnp.asarray(pr_idx)
-    return m[idx], v[idx]
+    return _destructure(x_sorted, m)[idx], _destructure(x_sorted, v)[idx]
 
 
 def mean_and_var(fxp, *, engine=None):
@@ -132,13 +246,14 @@ def var(fxp, *, engine=None):
 
 
 def rand(key, fxp: FinitePosteriorLTISDE, *, engine=None):
-    """Joint posterior sample at fxp.x (reference: posterior_lti_sde.jl:48-58)."""
+    """Joint posterior sample at fxp.x, flat form
+    (reference: posterior_lti_sde.jl:48-58)."""
     fp = fxp.f
     dtype = _storage_dtype(fp.prior.storage)
     x_sorted, noise_all, y_all, tr_idx, pr_idx = _build_inference_data(fp, fxp.x)
-    noise_pred_full = _pred_noise_full(pr_idx, len(x_sorted), fxp.noise, dtype)
+    noise_pred_full = _pred_noise_full(pr_idx, _flat_len(x_sorted), fxp.noise, dtype)
     post = _posterior_model(fp, x_sorted, noise_all, y_all, noise_pred_full, engine=engine)
-    ys = lgssm_mod.rand(key, post, engine=engine)
+    ys = _destructure(x_sorted, lgssm_mod.rand(key, post, engine=engine))
     return ys[jnp.asarray(pr_idx)]
 
 
@@ -147,10 +262,12 @@ def logpdf(fxp: FinitePosteriorLTISDE, y_pr, *, engine=None):
     fp = fxp.f
     dtype = _storage_dtype(fp.prior.storage)
     x_sorted, noise_all, y_all, tr_idx, pr_idx = _build_inference_data(fp, fxp.x)
-    noise_pred_full = _pred_noise_full(pr_idx, len(x_sorted), fxp.noise, dtype)
+    noise_pred_full = _pred_noise_full(pr_idx, _flat_len(x_sorted), fxp.noise, dtype)
     post = _posterior_model(fp, x_sorted, noise_all, y_all, noise_pred_full, engine=engine)
     # Observations for the reverse model: y_pr at prediction indices,
     # missing (NaN) at training indices.
-    y_full = jnp.full((len(x_sorted),), jnp.nan, dtype)
+    y_full = jnp.full((_flat_len(x_sorted),), jnp.nan, dtype)
     y_full = y_full.at[jnp.asarray(pr_idx)].set(jnp.asarray(y_pr, dtype))
-    return missings_mod.logpdf_with_missings(post, y_full, engine=engine)
+    return missings_mod.logpdf_with_missings(
+        post, _to_time_form(x_sorted, y_full), engine=engine
+    )

@@ -1,0 +1,66 @@
+"""Hyperparameter learning utilities.
+
+The reference defers learning to Optim/ParameterHandling/Mooncake
+(reference: examples/exact_time_learning.jl); the JAX-native equivalents are
+optax + jax.value_and_grad. This module provides the small amount of glue:
+positive-constrained parameter handling and a jitted fit loop (adam or
+L-BFGS with backtracking linesearch, mirroring the reference's BFGS setup).
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def positive(x):
+    """Initial value of a positive-constrained parameter (stored as log)."""
+    return jnp.log(jnp.asarray(x, jnp.float64))
+
+
+def constrained(log_x):
+    return jnp.exp(log_x)
+
+
+class FitResult(NamedTuple):
+    params: dict
+    losses: jnp.ndarray
+
+
+def fit(
+    objective: Callable,
+    params,
+    *,
+    optimizer=None,
+    steps: int = 100,
+    _extra_args: bool = False,
+) -> FitResult:
+    """Minimise `objective(params)` with optax; returns optimised params and
+    the per-step loss trajectory. The whole loop runs as one jitted scan."""
+    if optimizer is None:
+        optimizer = optax.adam(1e-1)
+
+    opt_state = optimizer.init(params)
+    vg = jax.value_and_grad(objective)
+
+    def step(carry, _):
+        p, s = carry
+        val, g = vg(p)
+        if _extra_args:
+            updates, s = optimizer.update(
+                g, s, p, value=val, grad=g, value_fn=objective
+            )
+        else:
+            updates, s = optimizer.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), val
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=steps)
+    return FitResult(params, losses)
+
+
+def fit_lbfgs(objective, params, *, steps: int = 50):
+    """L-BFGS with linesearch — the optax analogue of the reference's Optim
+    BFGS + backtracking (exact_time_learning.jl:53-63)."""
+    return fit(objective, params, optimizer=optax.lbfgs(), steps=steps, _extra_args=True)

@@ -201,3 +201,52 @@ def test_ragged_regular_in_time(rng):
     fx_rag = f(x_rag, 0.3)
     val = float(elbo(fx_rag, y_r, jnp.asarray(z)))
     assert np.isfinite(val)
+
+
+def test_exact_spacetime_posterior_new_times(rng):
+    """Exact grid posterior at new time points vs dense conditioning."""
+    from temporalgps_tpu.gp.posterior import marginals as post_marginals
+    from temporalgps_tpu.gp.posterior import posterior
+
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    fp = posterior(fx, y)
+    t_pr = np.sort(rng.uniform(0.05, 2.3, 3))
+    x_pr = RectilinearGrid(x.xl, jnp.asarray(t_pr))
+    m, v = post_marginals(fp(x_pr, 0.1))
+
+    # dense oracle
+    Kff = np.asarray(gram_grid(k, x)) + np.diag(noise)
+    Kpf = np.asarray(gram_grid(k, RectilinearGrid(x.xl, jnp.asarray(t_pr)))[:0])  # placeholder
+    import temporalgps_tpu.gp.kernels as K
+
+    t_tr = np.asarray(x.xr.to_array())
+    Kt_pf = np.asarray(K.gram(Matern32(), t_pr, t_tr))
+    Kt_pp = np.asarray(K.gram(Matern32(), t_pr))
+    Kr = np.asarray(K.gram(EQ(), np.asarray(x.xl)))
+    Kpf = np.kron(Kt_pf, Kr)
+    Kpp = np.kron(Kt_pp, Kr) + 0.1 * np.eye(3 * NS)
+    sol = np.linalg.solve(Kff, y)
+    m_want = Kpf @ sol
+    v_want = np.diag(Kpp - Kpf @ np.linalg.solve(Kff, Kpf.T))
+    np.testing.assert_allclose(np.asarray(m), m_want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), v_want, rtol=1e-4, atol=1e-6)
+
+
+def test_exact_spacetime_posterior_same_times(rng):
+    from temporalgps_tpu.gp.posterior import marginals as post_marginals
+    from temporalgps_tpu.gp.posterior import posterior
+
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    fp = posterior(fx, y)
+    m, v = post_marginals(fp(x, 0.05))
+    Kff = np.asarray(gram_grid(k, x))
+    C = Kff + np.diag(noise)
+    sol = np.linalg.solve(C, y)
+    m_want = Kff @ sol
+    v_want = np.diag(Kff - Kff @ np.linalg.solve(C, Kff)) + 0.05
+    np.testing.assert_allclose(np.asarray(m), m_want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), v_want, rtol=1e-4, atol=1e-6)
