@@ -92,6 +92,8 @@ def _canon_noise(noise, x, dtype):
     N = _flat_len(x)
     if noise is None:
         return Fill(jnp.asarray(DEFAULT_NOISE, dtype), N)
+    if is_fill(noise):
+        return noise
     noise = jnp.asarray(noise, dtype)
     if noise.ndim == 0:
         return Fill(noise, N)
