@@ -113,6 +113,81 @@ def _supports(model) -> bool:
     return model.trans.forward and isinstance(model.emis, em.ScalarEmissions)
 
 
+def _lanes_supported(model) -> bool:
+    return _supports(model) and model.latent_dim <= 3
+
+
+# ---------------------------------------------------------------------------
+# Lane-major fast path (scalar emissions, D <= 3): see ops/lanes.py
+# ---------------------------------------------------------------------------
+
+def _decompose_blocked(blocked, D):
+    """Blocked parameter tree -> lane-major component tree."""
+    from . import lanes
+
+    ((As, offs, Qs), emis), y = blocked
+    trans_c = (
+        lanes.decompose_mat(As, D),
+        lanes.decompose_vec(offs, D),
+        lanes.decompose_mat(Qs, D),
+    )
+    emis_c = (lanes.decompose_vec(emis.H, D), emis.h, emis.s)
+    return (trans_c, emis_c), y
+
+
+def _identity_element_lanes(B, D, dtype):
+    from . import lanes
+
+    ones = jnp.ones((B,), dtype)
+    zeros = jnp.zeros((B,), dtype)
+    zmat = tuple(tuple(zeros for _ in range(D)) for _ in range(D))
+    return (lanes.eye(D, ones, zeros), (zeros,) * D, zmat, (zeros,) * D, zmat)
+
+
+def _phase1_aggregates_lanes(blocked, B, D, dtype):
+    from . import lanes
+
+    blocked_c = _decompose_blocked(blocked, D)
+
+    def step(carry, sl):
+        ((A, a, Q), (H, h, s)), yt = sl
+        e = lanes.step_element(A, a, Q, H, h, s, yt, 1.0, 0.0)
+        return None, lanes.combine(carry, e)
+
+    _, agg_c = scan_emit(step, blocked_c, _identity_element_lanes(B, D, dtype))
+    from .lanes import mat_to_array, vec_to_array
+
+    return (
+        mat_to_array(agg_c[0]),
+        vec_to_array(agg_c[1]),
+        mat_to_array(agg_c[2]),
+        vec_to_array(agg_c[3]),
+        mat_to_array(agg_c[4]),
+    )
+
+
+def _phase3_lml_lanes(blocked, starts_head, B, D, dtype):
+    """Per-block lml sums from exact block-start states (lane-major)."""
+    from . import lanes
+
+    blocked_c = _decompose_blocked(blocked, D)
+    m0 = tuple(starts_head.mean[:, i] for i in range(D))
+    P0 = tuple(
+        tuple(starts_head.cov[:, i, j] for j in range(D)) for i in range(D)
+    )
+
+    def step(carry, sl):
+        m, P, acc = carry
+        ((A, a, Q), (H, h, s)), yt = sl
+        m, P, lml = lanes.kalman_step(m, P, A, a, Q, H, h, s, yt)
+        return None, (m, P, acc + lml)
+
+    _, (_, _, lml_blocks) = scan_emit(
+        step, blocked_c, (m0, P0, jnp.zeros((B,), dtype))
+    )
+    return jnp.sum(lml_blocks)
+
+
 def _prepare(model, y, n_blocks):
     N = len(model)
     B = n_blocks or _default_blocks(N)
@@ -246,37 +321,52 @@ def chunk_logpdf_from_start(params_y, start: Gaussian, D, dtype, *, n_blocks=Non
     return total
 
 
+def _tail_lml(tail, x_tail):
+    def tail_step(x, sl):
+        ((A, a, Q), e), yt = sl
+        xp = lgc.predict(x, A, a, Q)
+        xf, lml = em.step_posterior_and_lml(xp, e, yt)
+        return lml, xf
+
+    lmls, _ = scan_emit(tail_step, tail, x_tail)
+    return jnp.sum(lmls)
+
+
 def logpdf(model, y, *, n_blocks=None):
     if not _supports(model):
         return assoc.logpdf(model, y)
     D = model.latent_dim
-    dtype = model.trans.x0.dtype
-    B, L, blocked, tail, starts = block_filter_states(model, y, n_blocks=n_blocks)
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    N, B, L, blocked, tail = _prepare(model, y, n_blocks)
 
-    # Phase 3: plain Kalman recursion inside each block, lml carry only.
-    def phase3_step(carry, sl):
-        x, acc = carry
-        ((A, a, Q), e), yt = sl
-        xp = lgc.predict(x, A, a, Q)
-        xf, lml = em.step_posterior_and_lml(xp, e, yt)
-        return None, (xf, acc + lml)
+    if _lanes_supported(model):
+        agg = _phase1_aggregates_lanes(blocked, B, D, dtype)
+    else:
+        agg = _phase1_aggregates(blocked, B, D, dtype)
 
-    init = (Gaussian(starts.mean[:-1], starts.cov[:-1]), jnp.zeros((B,), dtype))
-    _, (_, lml_blocks) = scan_emit(phase3_step, blocked, init)
-    total = jnp.sum(lml_blocks)
+    prior = _prior_element(x0, D, dtype)
+    elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
+    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    starts = Gaussian(pref[1], pref[2])
+    starts_head = Gaussian(starts.mean[:-1], starts.cov[:-1])
 
-    # Sequential tail from the post-block state.
-    if time_length(tail) > 0:
-        x_tail = Gaussian(starts.mean[-1], starts.cov[-1])
-
-        def tail_step(x, sl):
+    if _lanes_supported(model):
+        total = _phase3_lml_lanes(blocked, starts_head, B, D, dtype)
+    else:
+        def phase3_step(carry, sl):
+            x, acc = carry
             ((A, a, Q), e), yt = sl
             xp = lgc.predict(x, A, a, Q)
             xf, lml = em.step_posterior_and_lml(xp, e, yt)
-            return lml, xf
+            return None, (xf, acc + lml)
 
-        lmls, _ = scan_emit(tail_step, tail, x_tail)
-        total = total + jnp.sum(lmls)
+        init = (starts_head, jnp.zeros((B,), dtype))
+        _, (_, lml_blocks) = scan_emit(phase3_step, blocked, init)
+        total = jnp.sum(lml_blocks)
+
+    if time_length(tail) > 0:
+        total = total + _tail_lml(tail, Gaussian(starts.mean[-1], starts.cov[-1]))
     return total
 
 
