@@ -270,9 +270,18 @@ def _destructure(x, ys):
     return ys
 
 
-def rand(key, fx: FiniteLTISDE, *, engine=None):
-    """Joint prior sample, flat-form (reference: src/gp/lti_sde.jl:48-58)."""
-    return _destructure(fx.x, lgssm_mod.rand(key, build_lgssm(fx), engine=engine))
+def rand(key, fx: FiniteLTISDE, n: int = None, *, engine=None):
+    """Joint prior sample, flat-form; `n` draws i.i.d. samples stacked on a
+    leading axis (reference: src/gp/lti_sde.jl:48-58)."""
+    model = build_lgssm(fx)
+    if n is None:
+        return _destructure(fx.x, lgssm_mod.rand(key, model, engine=engine))
+    import jax
+
+    keys = jax.random.split(key, n)
+    return jax.vmap(
+        lambda k: _destructure(fx.x, lgssm_mod.rand(k, model, engine=engine))
+    )(keys)
 
 
 def logpdf(fx: FiniteLTISDE, y, *, engine=None):

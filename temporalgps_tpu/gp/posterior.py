@@ -15,6 +15,8 @@ The reference intentionally refuses to compute the dense posterior covariance
 
 import numpy as np
 
+import jax
+
 import jax.numpy as jnp
 
 from ..config import LARGE_VAR
@@ -72,6 +74,18 @@ def _times_of(x):
 
 
 def _same_inputs(x1, x2) -> bool:
+    if x1 is x2:
+        return True
+    try:
+        return _same_inputs_concrete(x1, x2)
+    except jax.errors.TracerArrayConversionError:
+        # Under jit the time values are tracers: only identical input
+        # objects can be recognised as "same"; merging new prediction points
+        # needs concrete inputs (it is host-side data preparation).
+        return False
+
+
+def _same_inputs_concrete(x1, x2) -> bool:
     if _is_grid(x1) != _is_grid(x2):
         return False
     if _is_grid(x1):
