@@ -95,7 +95,9 @@ def main():
     lp_s = float(jax.jit(make_loss(x_s, "sequential"))(p0, y_s))
     rel = abs(lp_b - lp_s) / abs(lp_s)
     log(f"cross-check: block={lp_b:.2f} seq={lp_s:.2f} rel={rel:.2e}")
-    assert rel < 1e-4, "engine mismatch"
+    # f32 accumulation order differs between engines; f64 equivalence is
+    # tested to 1e-9 in tests/. 1e-3 relative on a 20k-step f32 lml sum.
+    assert rel < 1e-3, "engine mismatch"
 
     print(
         json.dumps(

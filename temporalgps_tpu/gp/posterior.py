@@ -259,6 +259,16 @@ def var(fxp, *, engine=None):
     return marginals(fxp, engine=engine)[1]
 
 
+def cov(fxp: FinitePosteriorLTISDE):
+    """Intentionally not implemented, as in the reference
+    (posterior_lti_sde.jl:14-16): the dense posterior covariance is O(N^2)
+    memory and defeats the purpose of the state-space representation."""
+    raise NotImplementedError(
+        "Intentionally not implemented. Please don't try to explicitly "
+        "compute this covariance matrix."
+    )
+
+
 def rand(key, fxp: FinitePosteriorLTISDE, *, engine=None):
     """Joint posterior sample at fxp.x, flat form
     (reference: posterior_lti_sde.jl:48-58)."""

@@ -23,6 +23,8 @@ Reverse-ordered models fall back to the associative engine (they arise for
 posteriors, whose construction is already parallel there).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -199,6 +201,65 @@ def _prepare(model, y, n_blocks):
     return N, B, L, blocked, tail
 
 
+def _pad_tail(model, y, B):
+    """Pad the series so B divides N exactly, instead of running a
+    sequential tail (which would dominate wall time).
+
+    Pad steps reuse the model's own transitions but observe nothing: their
+    observation variance is LARGE_VAR and their lml contribution is the
+    closed-form constant -log(2 pi LARGE_VAR)/2 each, which we return as a
+    compensation — exactly the reference's missing-data mechanism
+    (reference: src/models/missings.jl:43-53) applied to alignment padding.
+    Relative error is O(HPH^T / LARGE_VAR) ~ 1e-15.
+
+    Returns (params_padded, y_padded, s_padded, n_pad, compensation).
+    """
+    from ..config import LARGE_VAR
+
+    N = len(model)
+    L = -(-N // B)  # ceil
+    n_pad = B * L - N
+    dtype = model.trans.x0.dtype
+    y = jnp.asarray(y, dtype)
+    e = model.emis
+    s = e.s
+    s_arr = (
+        jnp.broadcast_to(s.value, (s.N,)).astype(dtype)
+        if is_fill(s)
+        else jnp.asarray(s, dtype)
+    )
+    if n_pad == 0:
+        params = ((model.trans.As, model.trans.offs, model.trans.Qs), e)
+        return params, y, s_arr, 0, jnp.zeros((), dtype)
+
+    import math
+
+    y_p = jnp.concatenate([y, jnp.zeros((n_pad,), dtype)])
+    s_p = jnp.concatenate([s_arr, jnp.full((n_pad,), LARGE_VAR, dtype)])
+    comp = jnp.asarray(
+        n_pad * 0.5 * math.log(2.0 * math.pi * LARGE_VAR), dtype
+    )
+
+    def pad_leaf(leaf, pad_value_fn):
+        if is_fill(leaf):
+            return Fill(leaf.value, leaf.N + n_pad)
+        pad = jnp.broadcast_to(pad_value_fn(leaf), (n_pad,) + leaf.shape[1:])
+        return jnp.concatenate([leaf, pad.astype(leaf.dtype)], axis=0)
+
+    t = model.trans
+    D = model.latent_dim
+    As_p = pad_leaf(t.As, lambda l: jnp.eye(D, dtype=l.dtype))
+    offs_p = pad_leaf(t.offs, lambda l: jnp.zeros((D,), l.dtype))
+    Qs_p = pad_leaf(t.Qs, lambda l: jnp.zeros((D, D), l.dtype))
+    H_p = pad_leaf(e.H, lambda l: jnp.zeros((D,), l.dtype))
+    h_p = pad_leaf(e.h, lambda l: jnp.zeros((), l.dtype))
+    e_p = em.ScalarEmissions(H=H_p, h=h_p, s=s_p)
+    # NB: when H is a Fill, padded steps see the real H with LARGE_VAR noise
+    # (error ~1e-15); when H is an array, padded H rows are exactly zero and
+    # the compensation is exact up to log(1 + HQH/LARGE).
+    return ((As_p, offs_p, Qs_p), e_p), y_p, s_p, n_pad, comp
+
+
 def _phase1_aggregates(blocked, B, D, dtype):
     def phase1_step(carry, sl):
         elem = _step_element(sl, D, dtype)
@@ -321,6 +382,90 @@ def chunk_logpdf_from_start(params_y, start: Gaussian, D, dtype, *, n_blocks=Non
     return total
 
 
+def _pallas_supported(model) -> bool:
+    t = model.trans
+    e = model.emis
+    return (
+        _lanes_supported(model)
+        and is_fill(t.As)
+        and is_fill(t.offs)
+        and is_fill(t.Qs)
+        and is_fill(e.H)
+        and is_fill(e.h)
+    )
+
+
+def _pallas_blocks(N: int) -> int:
+    """Block count for the Pallas path: target within-block length ~32 (the
+    loop is unrolled inside the kernel), power of two, capped."""
+    b = 1
+    while b * 2 <= min(N // 32 if N >= 64 else 1, 65536):
+        b *= 2
+    return max(b, 1)
+
+
+def _logpdf_pallas_impl(model, y, n_blocks):
+    from . import pallas_kernels as pk
+
+    D = model.latent_dim
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    N = len(model)
+    B = min(n_blocks or _pallas_blocks(N), N)
+    DD = D * D
+
+    _params_p, y_p, s_p, n_pad, comp = _pad_tail(model, y, B)
+    L = (N + n_pad) // B
+    y_main = y_p.reshape(B, L).T  # (L, B)
+    s_main = s_p.reshape(B, L).T
+
+    t = model.trans
+    packed = pk.pack_params(
+        t.As.value, t.offs.value, t.Qs.value, model.emis.H.value,
+        model.emis.h.value, dtype,
+    )
+
+    comps = pk.phase1_aggregate(y_main, s_main, packed, D)  # (K, B)
+    A_e = comps[:DD].T.reshape(B, D, D)
+    b_e = comps[DD : DD + D].T
+    C_e = comps[DD + D : 2 * DD + D].T.reshape(B, D, D)
+    eta_e = comps[2 * DD + D : 2 * DD + 2 * D].T
+    J_e = comps[2 * DD + 2 * D :].T.reshape(B, D, D)
+
+    prior = _prior_element(x0, D, dtype)
+    elems = tuple(
+        jnp.concatenate([p, a], axis=0)
+        for p, a in zip(prior, (A_e, b_e, C_e, eta_e, J_e))
+    )
+    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    starts = Gaussian(pref[1], pref[2])  # (B+1, ...)
+
+    starts_comp = jnp.concatenate(
+        [starts.mean[:-1].T, starts.cov[:-1].reshape(B, DD).T], axis=0
+    )  # (D + DD, B)
+    lml = jnp.sum(pk.phase3_lml(y_main, s_main, packed, starts_comp, D))
+    return lml + comp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _logpdf_pallas_cv(model, y, n_blocks):
+    return _logpdf_pallas_impl(model, y, n_blocks)
+
+
+def _logpdf_pallas_fwd(model, y, n_blocks):
+    return _logpdf_pallas_impl(model, y, n_blocks), (model, y)
+
+
+def _logpdf_pallas_bwd(n_blocks, res, g):
+    model, y = res
+    # Backward through the XLA engine (same function, different schedule).
+    _, vjp = jax.vjp(lambda m, yy: _logpdf_xla(m, yy, None), model, y)
+    return vjp(g)
+
+
+_logpdf_pallas_cv.defvjp(_logpdf_pallas_fwd, _logpdf_pallas_bwd)
+
+
 def _tail_lml(tail, x_tail):
     def tail_step(x, sl):
         ((A, a, Q), e), yt = sl
@@ -332,13 +477,27 @@ def _tail_lml(tail, x_tail):
     return jnp.sum(lmls)
 
 
-def logpdf(model, y, *, n_blocks=None):
+def logpdf(model, y, *, n_blocks=None, pallas=None):
+    """Block-parallel logpdf. `pallas=None` auto-selects the fused Pallas
+    kernels when the model qualifies (time-invariant params, scalar
+    emissions, D<=3); `pallas=False` forces the pure-XLA schedule."""
     if not _supports(model):
         return assoc.logpdf(model, y)
+    use_pallas = _pallas_supported(model) if pallas is None else pallas
+    if use_pallas and _pallas_supported(model):
+        return _logpdf_pallas_cv(model, y, n_blocks)
+    return _logpdf_xla(model, y, n_blocks)
+
+
+def _logpdf_xla(model, y, n_blocks=None):
     D = model.latent_dim
     x0 = model.trans.x0
     dtype = x0.dtype
-    N, B, L, blocked, tail = _prepare(model, y, n_blocks)
+    N = len(model)
+    B = min(n_blocks or _default_blocks(N), N)
+    params_p, y_p, _s_p, n_pad, comp = _pad_tail(model, y, B)
+    L = (N + n_pad) // B
+    blocked = _split_tree((params_p, y_p), B, L)
 
     if _lanes_supported(model):
         agg = _phase1_aggregates_lanes(blocked, B, D, dtype)
@@ -365,9 +524,7 @@ def logpdf(model, y, *, n_blocks=None):
         _, (_, lml_blocks) = scan_emit(phase3_step, blocked, init)
         total = jnp.sum(lml_blocks)
 
-    if time_length(tail) > 0:
-        total = total + _tail_lml(tail, Gaussian(starts.mean[-1], starts.cov[-1]))
-    return total
+    return total + comp
 
 
 def filter_(model, y, *, n_blocks=None):

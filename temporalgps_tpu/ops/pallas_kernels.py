@@ -1,0 +1,179 @@
+"""Pallas TPU kernels for the block-parallel Kalman filter hot loops.
+
+The XLA block engine's cost at large N is per-scan-iteration dispatch
+(~10-15us per step on a tunneled v5e); these kernels run the entire
+within-block loop *inside one kernel*, so the per-step cost drops to the
+hardware-loop cost of a few dozen fused VPU ops.
+
+Layout: the block-batch B lives in the lane dimension. Small matrices are
+unrolled into per-component (B_TILE,) vectors (see ops/lanes.py for the
+rationale); element/state outputs are component-major (K, B) arrays.
+
+Scope: time-invariant (Fill) transition/emission projections, scalar
+emissions with *streamed* per-step noise (covers heteroscedastic noise and
+the missing-data large-variance fill), D <= 3 — the flagship Matern
+time-series configuration (reference workload: bench/single_output_gps.jl).
+The XLA engines remain the general path; gradients route through the XLA
+implementation via custom_vjp in ops/block.py (forward = Pallas, backward =
+XLA autodiff). On non-TPU backends the kernels run in interpret mode (tests).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes
+
+# params vector layout (packed (PK,) array):  A (D*D), a (D), Q (D*D), H (D), h
+#   PK = 2*D*D + 2*D + 1
+
+
+def _unpack_params(p_ref, D):
+    i = 0
+
+    def take(n):
+        nonlocal i
+        vals = [p_ref[0, i + k] for k in range(n)]
+        i += n
+        return vals
+
+    A_flat = take(D * D)
+    a = tuple(take(D))
+    Q_flat = take(D * D)
+    H = tuple(take(D))
+    (h,) = take(1)
+    A = tuple(tuple(A_flat[r * D + c] for c in range(D)) for r in range(D))
+    Q = tuple(tuple(Q_flat[r * D + c] for c in range(D)) for r in range(D))
+    return A, a, Q, H, h
+
+
+def pack_params(A, a, Q, H, h, dtype):
+    return jnp.concatenate(
+        [
+            jnp.ravel(A).astype(dtype),
+            jnp.ravel(a).astype(dtype),
+            jnp.ravel(Q).astype(dtype),
+            jnp.ravel(H).astype(dtype),
+            jnp.reshape(h, (1,)).astype(dtype),
+        ]
+    )
+
+
+def _flatten_elem(e, D):
+    A_e, b_e, C_e, eta_e, J_e = e
+    out = []
+    for r in range(D):
+        out.extend(A_e[r])
+    out.extend(b_e)
+    for r in range(D):
+        out.extend(C_e[r])
+    out.extend(eta_e)
+    for r in range(D):
+        out.extend(J_e[r])
+    return out
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: within-block element aggregation
+# ---------------------------------------------------------------------------
+
+def _phase1_kernel(p_ref, y_ref, s_ref, out_ref, *, D, L):
+    A, a, Q, H, h = _unpack_params(p_ref, D)
+    B_TILE = y_ref.shape[1]
+    dtype = y_ref.dtype
+    ones = jnp.ones((B_TILE,), dtype)
+    zeros = jnp.zeros((B_TILE,), dtype)
+    carry = (
+        lanes.eye(D, ones, zeros),
+        (zeros,) * D,
+        tuple(tuple(zeros for _ in range(D)) for _ in range(D)),
+        (zeros,) * D,
+        tuple(tuple(zeros for _ in range(D)) for _ in range(D)),
+    )
+    for l in range(L):
+        e = lanes.step_element(A, a, Q, H, h, s_ref[l, :], y_ref[l, :], 1.0, 0.0)
+        carry = lanes.combine(carry, e)
+    for k, c in enumerate(_flatten_elem(carry, D)):
+        out_ref[k, :] = c
+
+
+def phase1_aggregate(y_blocked, s_blocked, packed_params, D, *, b_tile=4096):
+    """(L, B) y and noise -> element components (K, B), K = 3*D*D + 2*D."""
+    L, B = y_blocked.shape
+    K = 3 * D * D + 2 * D
+    b_tile = min(b_tile, B)
+    packed_params = packed_params.reshape(1, -1)
+    PK = packed_params.shape[1]
+    kernel = functools.partial(_phase1_kernel, D=D, L=L)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, B), y_blocked.dtype),
+        grid=(B // b_tile,),
+        in_specs=[
+            pl.BlockSpec((1, PK), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(packed_params, y_blocked, s_blocked)
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: within-block Kalman recursion with lml accumulation
+# ---------------------------------------------------------------------------
+
+def _phase3_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L):
+    A, a, Q, H, h = _unpack_params(p_ref, D)
+    B_TILE = y_ref.shape[1]
+    dtype = y_ref.dtype
+    m = tuple(start_ref[i, :] for i in range(D))
+    P = tuple(
+        tuple(start_ref[D + r * D + c, :] for c in range(D)) for r in range(D)
+    )
+    acc = jnp.zeros((B_TILE,), dtype)
+    log2pi = math.log(2.0 * math.pi)
+    for l in range(L):
+        y_l = y_ref[l, :]
+        mp = lanes.vadd(lanes.mv(A, m), a)
+        Pp = lanes.madd(lanes.sym(lanes.mmT(lanes.mm(A, P), A)), Q)
+        V = lanes.mv(Pp, H)
+        S = lanes.vdot(H, V) + s_ref[l, :]
+        resid = y_l - (lanes.vdot(H, mp) + h)
+        acc = acc - 0.5 * (log2pi + jnp.log(S) + resid * resid / S)
+        Kg = lanes.vscale(1.0 / S, V)
+        m = lanes.vadd(mp, lanes.vscale(resid, Kg))
+        P = lanes.sym(lanes.msub(Pp, lanes.outer(Kg, V)))
+    lml_ref[0, :] = acc
+
+
+def phase3_lml(y_blocked, s_blocked, packed_params, starts, D, *, b_tile=4096):
+    """starts: (D + D*D, B) component-major block-start states -> (B,) lmls."""
+    L, B = y_blocked.shape
+    b_tile = min(b_tile, B)
+    packed_params = packed_params.reshape(1, -1)
+    PK = packed_params.shape[1]
+    SD = D + D * D
+    kernel = functools.partial(_phase3_kernel, D=D, L=L)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), y_blocked.dtype),
+        grid=(B // b_tile,),
+        in_specs=[
+            pl.BlockSpec((1, PK), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SD, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(packed_params, y_blocked, s_blocked, starts)
+    return out[0]

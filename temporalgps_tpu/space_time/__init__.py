@@ -5,6 +5,7 @@ from .grids import (
     regular_in_time,
 )
 from .pseudo_point import (
+    approx_posterior_marginals_at,
     DTCSeparable,
     approx_posterior_marginals,
     dtc,
@@ -24,4 +25,5 @@ __all__ = [
     "dtcify",
     "elbo",
     "approx_posterior_marginals",
+    "approx_posterior_marginals_at",
 ]

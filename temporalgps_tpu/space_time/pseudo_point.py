@@ -270,6 +270,28 @@ def dtc_post_emissions(kernel, x_new, dtype):
     raise TypeError(type(kernel))
 
 
+def approx_posterior_marginals_at(fx, y, z_r, x_r, t: int, *, engine=None):
+    """DTC posterior marginals at spatial locations x_r for the single time
+    index t (reference: pseudo_point.jl:258-288): predictions elsewhere use a
+    single dummy point per slice, and only slice t is returned."""
+    ts = grids.get_times(fx.x)
+    Nt = num_times(ts)
+    if t < 0 or t >= Nt:
+        raise ValueError(f"t = {t} must be in [0, {Nt})")
+    import numpy as np
+
+    from ..utils.regular_spacing import time_array
+
+    x_r = jnp.asarray(x_r)
+    vs = [np.asarray(x_r[:1]) for _ in range(Nt)]
+    vs[t] = np.asarray(x_r)
+    x_pr = grids.regular_in_time(np.asarray(time_array(ts)), vs)
+    m, v = approx_posterior_marginals(fx, y, z_r, x_pr, engine=engine)
+    start = sum(x_pr.counts[:t])
+    n = x_pr.counts[t]
+    return m[start : start + n], v[start : start + n]
+
+
 def approx_posterior_marginals(fx, y, z_r, x_r, *, engine=None):
     """DTC posterior marginals at new spatial locations x_r, all times
     (reference: pseudo_point.jl:222-241). Returns flat (means, vars)."""

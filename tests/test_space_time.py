@@ -250,3 +250,25 @@ def test_exact_spacetime_posterior_same_times(rng):
     v_want = np.diag(Kff - Kff @ np.linalg.solve(C, Kff)) + 0.05
     np.testing.assert_allclose(np.asarray(m), m_want, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(v), v_want, rtol=1e-4, atol=1e-6)
+
+
+def test_approx_posterior_marginals_at_single_time(rng):
+    """Single-time variant agrees with the all-times variant at that slice."""
+    from temporalgps_tpu.space_time import approx_posterior_marginals_at
+
+    f, x, noise, k = _grid_setup(rng)
+    fx = f(x, noise)
+    y = rng.standard_normal(NS * NT)
+    z = np.sort(rng.uniform(-2.0, 2.0, 3))
+    r_pr = np.sort(rng.uniform(-2.0, 2.0, 5))
+    t = 3
+    m_all, v_all = approx_posterior_marginals(fx, y, jnp.asarray(z), jnp.asarray(r_pr))
+    m_t, v_t = approx_posterior_marginals_at(fx, y, jnp.asarray(z), jnp.asarray(r_pr), t)
+    # grid vs ragged DTC paths use different K_zz jitters (1e-12 vs 1e-9,
+    # both as in the reference), so agreement is ~1e-6.
+    np.testing.assert_allclose(
+        np.asarray(m_t), np.asarray(m_all).reshape(NT, 5)[t], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_t), np.asarray(v_all).reshape(NT, 5)[t], rtol=1e-5, atol=1e-6
+    )
