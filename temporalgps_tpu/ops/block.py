@@ -398,8 +398,9 @@ def _pallas_supported(model) -> bool:
 def _pallas_blocks(N: int) -> int:
     """Block count for the Pallas path: target within-block length ~32 (the
     loop is unrolled inside the kernel), power of two, capped."""
+    target = max(N // 32, min(N, 256))
     b = 1
-    while b * 2 <= min(N // 32 if N >= 64 else 1, 65536):
+    while b * 2 <= min(target, 65536):
         b *= 2
     return max(b, 1)
 

@@ -1,0 +1,87 @@
+"""Fisher-identity gradients vs autodiff through the sequential engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from model_test_utils import random_lgssm, random_obs
+from temporalgps_tpu import RegularSpacing
+from temporalgps_tpu.gp import GP, Matern32, Matern52, to_sde
+from temporalgps_tpu.gp import lti_sde as api
+from temporalgps_tpu.models import logpdf
+from temporalgps_tpu.ops.fisher import logpdf_fisher
+
+
+def canon(x):
+    x = np.asarray(x)
+    if x.ndim >= 2 and x.shape[-1] == x.shape[-2]:
+        return 0.5 * (x + np.swapaxes(x, -1, -2))
+    return x
+
+
+@pytest.mark.parametrize("time_varying", [True, False])
+def test_model_cotangents_match_autodiff(rng, time_varying):
+    model = random_lgssm(
+        rng, kind="scalar", D=3, Dout=1, N=16, time_varying=time_varying
+    )
+    y = random_obs(rng, model)
+
+    v_f, grads_f = jax.value_and_grad(lambda m, yy: logpdf_fisher(m, yy), argnums=(0, 1))(
+        model, jnp.asarray(y)
+    )
+    v_a, grads_a = jax.value_and_grad(
+        lambda m, yy: logpdf(m, yy, engine="sequential"), argnums=(0, 1)
+    )(model, jnp.asarray(y))
+
+    np.testing.assert_allclose(float(v_f), float(v_a), rtol=1e-9)
+    leaves_f = jax.tree_util.tree_leaves(grads_f)
+    leaves_a = jax.tree_util.tree_leaves(grads_a)
+    assert len(leaves_f) == len(leaves_a)
+    for lf, la in zip(leaves_f, leaves_a):
+        np.testing.assert_allclose(canon(lf), canon(la), rtol=1e-6, atol=1e-8)
+
+
+def test_hyperparameter_gradients_match(rng):
+    """End-to-end through the kernel compiler: Fisher vs autodiff.
+
+    dt is kept ~1/lam: the Q^{-1} contraction amplifies round-off at small
+    dt (see the caveat in ops/fisher.py), which is a conditioning property,
+    not a correctness bug — verified against finite differences."""
+    N = 200
+    x = RegularSpacing(0.0, 0.9, N)
+    y = jnp.asarray(rng.standard_normal(N))
+
+    def build(p):
+        s2, sc, noise = jnp.exp(p)
+        kern = (s2 * Matern52()).stretch(sc)
+        fx = to_sde(GP(kern))(x, noise)
+        return api.build_lgssm(fx)
+
+    def loss_fisher(p):
+        return -logpdf_fisher(build(p), y)
+
+    def loss_auto(p):
+        return -logpdf(build(p), y, engine="sequential")
+
+    p0 = jnp.asarray([0.1, -0.2, -1.0])
+    v_f, g_f = jax.value_and_grad(loss_fisher)(p0)
+    v_a, g_a = jax.value_and_grad(loss_auto)(p0)
+    np.testing.assert_allclose(float(v_f), float(v_a), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_a), rtol=1e-6, atol=1e-8)
+
+
+def test_sum_kernel_gradients_match(rng):
+    """Sum of Materns: block-diagonal SPD Q — still Fisher-eligible."""
+    N = 64
+    x = np.sort(rng.uniform(0, 5, N))
+    y = jnp.asarray(rng.standard_normal(N))
+
+    def build(p):
+        kern = jnp.exp(p[0]) * Matern32() + jnp.exp(p[1]) * Matern52()
+        return api.build_lgssm(to_sde(GP(kern))(x, 0.3))
+
+    g_f = jax.grad(lambda p: logpdf_fisher(build(p), y))(jnp.zeros(2))
+    g_a = jax.grad(lambda p: logpdf(build(p), y, engine="sequential"))(jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_a), rtol=1e-6, atol=1e-8)
