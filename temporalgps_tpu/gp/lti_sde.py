@@ -284,11 +284,13 @@ def rand(key, fx: FiniteLTISDE, n: int = None, *, engine=None):
     )(keys)
 
 
-def logpdf(fx: FiniteLTISDE, y, *, engine=None):
+def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):
     """Log marginal likelihood; NaNs in y are missing observations
     (reference: src/gp/lti_sde.jl:60-68)."""
     y_tf = _to_time_form(fx.x, jnp.asarray(y))
-    return missings_mod.logpdf_with_missings(build_lgssm(fx), y_tf, engine=engine)
+    return missings_mod.logpdf_with_missings(
+        build_lgssm(fx), y_tf, engine=engine, **engine_kwargs
+    )
 
 
 def marginals(fx: FiniteLTISDE, *, engine=None):

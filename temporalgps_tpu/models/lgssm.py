@@ -70,9 +70,11 @@ def _resolve_engine(engine):
 # logpdf / filter
 # ---------------------------------------------------------------------------
 
-def logpdf(model: LGSSM, y, *, engine=None):
+def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None):
     """Log marginal likelihood via the Kalman filter
-    (reference: src/models/lgssm.jl:147-165)."""
+    (reference: src/models/lgssm.jl:147-165). `pallas=False` forces the
+    pure-XLA block schedule (required under forward-mode jvp, which cannot
+    cross the Pallas custom_vjp)."""
     engine = _resolve_engine(engine)
     if engine == "parallel":
         from ..ops import assoc
@@ -81,7 +83,7 @@ def logpdf(model: LGSSM, y, *, engine=None):
     if engine == "block":
         from ..ops import block
 
-        return block.logpdf(model, y)
+        return block.logpdf(model, y, pallas=pallas, n_blocks=n_blocks)
 
     def step(x, params):
         ((A, a, Q), e), yt = params

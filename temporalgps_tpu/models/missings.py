@@ -69,11 +69,11 @@ def transform_model_and_obs(model: LGSSM, y):
     return replace_observation_noise_cov(model, noise_filled), y_filled, comp
 
 
-def logpdf_with_missings(model: LGSSM, y, *, engine=None):
+def logpdf_with_missings(model: LGSSM, y, *, engine=None, **engine_kwargs):
     from .lgssm import logpdf
 
     model_f, y_f, comp = transform_model_and_obs(model, y)
-    return logpdf(model_f, y_f, engine=engine) + comp
+    return logpdf(model_f, y_f, engine=engine, **engine_kwargs) + comp
 
 
 def posterior_with_missings(model: LGSSM, y, *, engine=None):

@@ -81,6 +81,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def _im_const(i):
+    # Index maps must return i32 under jax_enable_x64: Mosaic fails to
+    # legalize i64 index-map returns ("func.return (i64, i64)").
+    return (_i32(0), _i32(0))
+
+
+def _im_lane(i):
+    return (_i32(0), _i32(i))
+
+
 # ---------------------------------------------------------------------------
 # Phase 1: within-block element aggregation
 # ---------------------------------------------------------------------------
@@ -118,11 +132,11 @@ def phase1_aggregate(y_blocked, s_blocked, packed_params, D, *, b_tile=4096):
         out_shape=jax.ShapeDtypeStruct((K, B), y_blocked.dtype),
         grid=(B // b_tile,),
         in_specs=[
-            pl.BlockSpec((1, PK), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PK), _im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((K, b_tile), _im_lane, memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(packed_params, y_blocked, s_blocked)
 
@@ -168,12 +182,12 @@ def phase3_lml(y_blocked, s_blocked, packed_params, starts, D, *, b_tile=4096):
         out_shape=jax.ShapeDtypeStruct((1, B), y_blocked.dtype),
         grid=(B // b_tile,),
         in_specs=[
-            pl.BlockSpec((1, PK), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SD, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PK), _im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SD, b_tile), _im_lane, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, b_tile), _im_lane, memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(packed_params, y_blocked, s_blocked, starts)
     return out[0]
