@@ -71,13 +71,32 @@ def main():
 
     p0 = jnp.zeros(3, dtype)
 
-    # Headline: logpdf+grad, block engine, N=1M.
+    # Headline: logpdf + full hyperparameter gradient, block engine with
+    # forward-mode (vmapped JVP) differentiation — no reverse-scan residuals.
+    from temporalgps_tpu.learning import value_and_grad_fwd
+
+    def loss_fwd(p, y_):
+        s2, sc, noise = jnp.exp(p)
+        kern = (s2 * Matern52()).stretch(sc)
+        fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
+        return lg.logpdf(
+            build_lgssm(fx), y_, engine="block", pallas=False, n_blocks=8192
+        )
+
     grad_block = jax.jit(
-        lambda p, y_: jax.value_and_grad(make_loss(x, "block"))(p, y_)[1][0]
+        lambda p, y_: value_and_grad_fwd(lambda q: loss_fwd(q, y_))(p)[1][0]
     )
-    dt_block, cs, _ = timed(grad_block, p0, y)
+    dt_block, cs, _ = timed(grad_block, p0, y, iters=10)
     steps_per_sec = N / dt_block
-    log(f"block lp+grad N={N}: {dt_block*1e3:.2f} ms ({steps_per_sec/1e6:.2f} Msteps/s), compile {cs:.0f}s")
+    log(f"block lp+grad(fwd) N={N}: {dt_block*1e3:.2f} ms ({steps_per_sec/1e6:.2f} Msteps/s), compile {cs:.0f}s")
+
+    # Forward-only throughput (Pallas fused kernels).
+    lp_fast = jax.jit(lambda y_: lg.logpdf(
+        build_lgssm(to_sde(GP(Matern52()), ArrayStorage(dtype))(x, jnp.asarray(0.1, dtype))),
+        y_, engine="block", n_blocks=8192,
+    ))
+    dt_f, cs_f, _ = timed(lp_fast, y, iters=10)
+    log(f"block logpdf N={N}: {dt_f*1e3:.2f} ms ({N/dt_f/1e6:.1f} Msteps/s), compile {cs_f:.0f}s")
 
     # Baseline stand-in: sequential engine per-step rate at N=20k.
     N_seq = 20_000
