@@ -532,7 +532,24 @@ def filter_(model, y, *, n_blocks=None):
     if not _supports(model):
         return assoc.filter_(model, y)
     D = model.latent_dim
-    B, L, blocked, tail, starts = block_filter_states(model, y, n_blocks=n_blocks)
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    N = len(model)
+    B = min(n_blocks or _default_blocks(N), N)
+    # Padded alignment (missing pseudo-observations do not perturb the
+    # filtering states of real steps), then slice back to N.
+    params_p, y_p, _s_p, n_pad, _comp = _pad_tail(model, y, B)
+    L = (N + n_pad) // B
+    blocked = _split_tree((params_p, y_p), B, L)
+
+    if _lanes_supported(model):
+        agg = _phase1_aggregates_lanes(blocked, B, D, dtype)
+    else:
+        agg = _phase1_aggregates(blocked, B, D, dtype)
+    prior = _prior_element(x0, D, dtype)
+    elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
+    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    starts = Gaussian(pref[1], pref[2])
 
     def phase3_step(x, sl):
         ((A, a, Q), e), yt = sl
@@ -542,12 +559,6 @@ def filter_(model, y, *, n_blocks=None):
 
     init = Gaussian(starts.mean[:-1], starts.cov[:-1])
     xs_blocked, _ = scan_emit(phase3_step, blocked, init)  # (L, B, ...)
-    mean = jnp.swapaxes(xs_blocked.mean, 0, 1).reshape((B * L, D))
-    cov = jnp.swapaxes(xs_blocked.cov, 0, 1).reshape((B * L, D, D))
-
-    if time_length(tail) > 0:
-        x_tail = Gaussian(starts.mean[-1], starts.cov[-1])
-        xs_tail, _ = scan_emit(phase3_step, tail, x_tail)
-        mean = jnp.concatenate([mean, xs_tail.mean], axis=0)
-        cov = jnp.concatenate([cov, xs_tail.cov], axis=0)
+    mean = jnp.swapaxes(xs_blocked.mean, 0, 1).reshape((B * L, D))[:N]
+    cov = jnp.swapaxes(xs_blocked.cov, 0, 1).reshape((B * L, D, D))[:N]
     return Gaussian(mean, cov)
