@@ -11,8 +11,30 @@ from .utils import Fill, Gaussian, RegularSpacing
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy top-level re-exports (mirrors the reference's export list,
+    reference: src/TemporalGPs.jl:24-33, plus the kernel/mean vocabulary)."""
+    import importlib
+
+    if name.startswith("_") or name in ("gp", "space_time", "models", "ops",
+                                        "parallel", "utils", "learning"):
+        raise AttributeError(name)
+    for mod_name in ("gp", "space_time"):
+        mod = importlib.import_module(f"{__name__}.{mod_name}")
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    if name == "posterior":
+        return importlib.import_module(f"{__name__}.gp.posterior").posterior
+    if name == "fit":
+        return importlib.import_module(f"{__name__}.learning").fit
+    raise AttributeError(f"module 'temporalgps_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "Fill",
     "Gaussian",
     "RegularSpacing",
+    # lazily re-exported: to_sde, GP, kernels, storages, Separable, grids,
+    # dtc, elbo, approx_posterior_marginals, posterior, fit, ...
 ]
