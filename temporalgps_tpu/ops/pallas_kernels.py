@@ -85,6 +85,30 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
+_UNROLL_MAX = 32  # unroll short within-block loops; fori_loop beyond
+
+
+def _auto_b_tile(L: int, B: int, requested: int) -> int:
+    """Cap the lane tile so the double-buffered (L, b_tile) stream blocks fit
+    VMEM (~16MB/core): keep L * b_tile <= 2^18 elements per stream."""
+    budget = max(128, 1 << max(7, 18 - max(L - 1, 1).bit_length()))
+    b = min(requested, budget, B)
+    # largest power of two dividing/leq B
+    t = 1
+    while t * 2 <= b and B % (t * 2) == 0:
+        t *= 2
+    return t
+
+
+def _loop(L, body, carry):
+    """Unrolled for short L; lax.fori_loop (i32 indices) for long L."""
+    if L <= _UNROLL_MAX:
+        for l in range(L):
+            carry = body(_i32(l), carry)
+        return carry
+    return jax.lax.fori_loop(0, L, lambda l, c: body(_i32(l), c), carry)
+
+
 def _im_const(i):
     # Index maps must return i32 under jax_enable_x64: Mosaic fails to
     # legalize i64 index-map returns ("func.return (i64, i64)").
@@ -112,9 +136,12 @@ def _phase1_kernel(p_ref, y_ref, s_ref, out_ref, *, D, L):
         (zeros,) * D,
         tuple(tuple(zeros for _ in range(D)) for _ in range(D)),
     )
-    for l in range(L):
+
+    def body(l, c):
         e = lanes.step_element(A, a, Q, H, h, s_ref[l, :], y_ref[l, :], 1.0, 0.0)
-        carry = lanes.combine(carry, e)
+        return lanes.combine(c, e)
+
+    carry = _loop(L, body, carry)
     for k, c in enumerate(_flatten_elem(carry, D)):
         out_ref[k, :] = c
 
@@ -123,7 +150,7 @@ def phase1_aggregate(y_blocked, s_blocked, packed_params, D, *, b_tile=4096):
     """(L, B) y and noise -> element components (K, B), K = 3*D*D + 2*D."""
     L, B = y_blocked.shape
     K = 3 * D * D + 2 * D
-    b_tile = min(b_tile, B)
+    b_tile = _auto_b_tile(L, B, b_tile)
     packed_params = packed_params.reshape(1, -1)
     PK = packed_params.shape[1]
     kernel = functools.partial(_phase1_kernel, D=D, L=L)
@@ -155,7 +182,9 @@ def _phase3_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L):
     )
     acc = jnp.zeros((B_TILE,), dtype)
     log2pi = math.log(2.0 * math.pi)
-    for l in range(L):
+
+    def body(l, carry):
+        m, P, acc = carry
         y_l = y_ref[l, :]
         mp = lanes.vadd(lanes.mv(A, m), a)
         Pp = lanes.madd(lanes.sym(lanes.mmT(lanes.mm(A, P), A)), Q)
@@ -166,13 +195,16 @@ def _phase3_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L):
         Kg = lanes.vscale(1.0 / S, V)
         m = lanes.vadd(mp, lanes.vscale(resid, Kg))
         P = lanes.sym(lanes.msub(Pp, lanes.outer(Kg, V)))
+        return (m, P, acc)
+
+    m, P, acc = _loop(L, body, (m, P, acc))
     lml_ref[0, :] = acc
 
 
 def phase3_lml(y_blocked, s_blocked, packed_params, starts, D, *, b_tile=4096):
     """starts: (D + D*D, B) component-major block-start states -> (B,) lmls."""
     L, B = y_blocked.shape
-    b_tile = min(b_tile, B)
+    b_tile = _auto_b_tile(L, B, b_tile)
     packed_params = packed_params.reshape(1, -1)
     PK = packed_params.shape[1]
     SD = D + D * D
