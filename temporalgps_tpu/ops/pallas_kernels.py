@@ -106,7 +106,11 @@ def _loop(L, body, carry):
         for l in range(L):
             carry = body(_i32(l), carry)
         return carry
-    return jax.lax.fori_loop(0, L, lambda l, c: body(_i32(l), c), carry)
+    import numpy as _np
+
+    # i32 bounds -> i32 loop variable (no in-body conversion; Mosaic rejects
+    # i64 indices under x64).
+    return jax.lax.fori_loop(_np.int32(0), _np.int32(L), body, carry)
 
 
 def _im_const(i):
