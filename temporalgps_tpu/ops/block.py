@@ -484,8 +484,11 @@ def logpdf(model, y, *, n_blocks=None, pallas=None):
     emissions, D<=3); `pallas=False` forces the pure-XLA schedule."""
     if not _supports(model):
         return assoc.logpdf(model, y)
-    use_pallas = _pallas_supported(model) if pallas is None else pallas
-    if use_pallas and _pallas_supported(model):
+    if pallas is None:
+        # Auto-select only on real TPU: interpret-mode Pallas (CPU) is far
+        # slower than the XLA schedule.
+        pallas = jax.default_backend() == "tpu"
+    if pallas and _pallas_supported(model):
         return _logpdf_pallas_cv(model, y, n_blocks)
     return _logpdf_xla(model, y, n_blocks)
 

@@ -218,7 +218,6 @@ def test_exact_spacetime_posterior_new_times(rng):
 
     # dense oracle
     Kff = np.asarray(gram_grid(k, x)) + np.diag(noise)
-    Kpf = np.asarray(gram_grid(k, RectilinearGrid(x.xl, jnp.asarray(t_pr)))[:0])  # placeholder
     import temporalgps_tpu.gp.kernels as K
 
     t_tr = np.asarray(x.xr.to_array())
