@@ -76,3 +76,21 @@ def test_sharded_logpdf_grad(rng):
 
     g_single = jax.grad(loss_single)(jnp.asarray(0.0))
     np.testing.assert_allclose(float(g), float(g_single), rtol=1e-7)
+
+
+def test_sharded_logpdf_fwd_grad(rng):
+    """Forward-mode (vmapped JVP) gradients through the distributed filter."""
+    from temporalgps_tpu.learning import value_and_grad_fwd
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    x = RegularSpacing(0.0, 0.01, N)
+    y = jnp.asarray(rng.standard_normal(N))
+
+    def loss(p):
+        fx = to_sde(GP(jnp.exp(p) * Matern52()))(x, 0.2)
+        return -sharded_logpdf(build_lgssm(fx), y, mesh)
+
+    v, g = jax.jit(lambda p: value_and_grad_fwd(loss)(p))(jnp.asarray(0.1))
+    v2, g2 = jax.jit(jax.value_and_grad(loss))(jnp.asarray(0.1))
+    np.testing.assert_allclose(float(v), float(v2), rtol=1e-10)
+    np.testing.assert_allclose(float(g), float(g2), rtol=1e-8)
