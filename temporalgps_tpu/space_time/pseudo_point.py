@@ -63,8 +63,14 @@ def dtcify(z, obj):
 # ---------------------------------------------------------------------------
 
 def _chol_z(space_kernel, z, dtype, eps):
-    Kzz = K.gram(space_kernel, z).astype(dtype)
-    return Kzz, psd.cholesky(Kzz + eps * jnp.eye(Kzz.shape[0], dtype=dtype))
+    Kzz_raw = K.gram(space_kernel, z)
+    # floor the reference's f64 jitter at a dtype-appropriate magnitude
+    eps = jnp.maximum(
+        jnp.asarray(eps, Kzz_raw.dtype),
+        psd.dtype_jitter(dtype) * jnp.mean(jnp.diagonal(Kzz_raw)),
+    )
+    Kzz = (Kzz_raw + eps * jnp.eye(Kzz_raw.shape[0], dtype=Kzz_raw.dtype)).astype(dtype)
+    return Kzz, psd.cholesky(Kzz)
 
 
 def lgssm_components_dtc(kernel, x, dtype):
@@ -117,9 +123,9 @@ def lgssm_components_dtc(kernel, x, dtype):
     offs = _combine_leaves(lambda a: jnp.tile(a, M), [offs_t], N)
     Hs = _combine_leaves(lambda H: _kron(ident_M, H[None, :]), [Hs_t], N)
     hs = Fill(jnp.zeros(M, dtype), N)
-    Kzz_plain = K.gram(sep.l, z).astype(dtype)
+    Kzz_x0, _ = _chol_z(sep.l, z, dtype, 0.0)
     x0 = Gaussian(
-        jnp.tile(x0_t.mean, M), psd.symmetrize(_kron(Kzz_plain, x0_t.cov))
+        jnp.tile(x0_t.mean, M), psd.symmetrize(_kron(Kzz_x0, x0_t.cov))
     )
 
     if isinstance(x, grids.RectilinearGrid):

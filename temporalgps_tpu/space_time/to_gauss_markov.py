@@ -69,8 +69,12 @@ def lgssm_components_spacetime(kernel, x, dtype):
     As_t, offs_t, Qs_t, (Hs_t, hs_t), x0_t = temporal_lgssm_components(
         kernel.r, ts, dtype
     )
-    Kr = K.gram(kernel.l, x.xl).astype(dtype)
-    Kr_eps = Kr + 1e-12 * jnp.eye(Kr.shape[0], dtype=dtype)
+    Kr_raw = K.gram(kernel.l, x.xl)
+    # dtype-aware jitter: 1e-12 (f64, as the reference) / 1e-5 (f32), scaled
+    # by the mean diagonal so ill-conditioned spatial grams stay PSD.
+    eps = psd.dtype_jitter(dtype) * jnp.mean(jnp.diagonal(Kr_raw))
+    Kr = (Kr_raw + eps * jnp.eye(Kr_raw.shape[0], dtype=Kr_raw.dtype)).astype(dtype)
+    Kr_eps = Kr
     Ns = Kr.shape[0]
     ident = jnp.eye(Ns, dtype=dtype)
 

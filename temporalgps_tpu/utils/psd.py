@@ -29,6 +29,14 @@ def add_jitter(P, eps=IDENT_EPS):
     return P + eps * jnp.eye(D, dtype=P.dtype)
 
 
+def dtype_jitter(dtype, f64_eps=IDENT_EPS, f32_eps=1e-5):
+    """Jitter magnitude appropriate to the storage dtype: the reference's
+    1e-12 constants assume Float64 (src/gp/lti_sde.jl:27-29 etc.); under
+    float32 a near-singular spatial gram (e.g. a dense EQ kernel matrix)
+    needs ~1e-5 relative regularisation to stay PSD."""
+    return f64_eps if jnp.dtype(dtype).itemsize >= 8 else f32_eps
+
+
 def _chol_unrolled(P, D: int):
     """Closed-form Cholesky for D<=4, elementwise over leading batch axes."""
     idx = lambda i, j: P[..., i, j]
