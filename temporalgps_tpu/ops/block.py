@@ -91,10 +91,37 @@ def _step_element(params, D, dtype):
             w[..., :, None] * w[..., None, :] / S[..., None, None]
         )
         return (A_e, b_e, C_e, eta_e, J_e)
-    raise TypeError(
-        "block engine currently supports scalar emissions; "
-        f"got {type(e).__name__} (use engine='parallel')"
-    )
+    # vector emissions: effective dense (H, d, R) per slice
+    H, d, R = _dense_emission_slice(e)
+    S = psd.symmetrize(H @ Q @ _mT(H) + R)
+    Ls = psd.cholesky(S)
+    K = _mT(psd.chol_solve(Ls, H @ Q))  # (..., D, Dout)
+    ImKH = I - K @ H
+    A_e = ImKH @ A
+    resid = yt - (jnp.einsum("...ij,...j->...i", H, a) + d)
+    b_e = a + jnp.einsum("...ij,...j->...i", K, resid)
+    C_e = psd.symmetrize(ImKH @ Q)
+    HtSinv = _mT(psd.chol_solve(Ls, H))  # (..., D, Dout)
+    FtH = _mT(A) @ HtSinv
+    eta_e = jnp.einsum("...ij,...j->...i", FtH, resid)
+    J_e = psd.symmetrize(FtH @ H @ A)
+    return (A_e, b_e, C_e, eta_e, J_e)
+
+
+def _dense_emission_slice(e):
+    """(H, d, R) of one emission slice, batched over leading axes
+    (per-slice counterpart of assoc._dense_emission_params)."""
+    if isinstance(e, em.DenseEmissions):
+        return e.H, e.h, e.S
+    if isinstance(e, em.LargeEmissions):
+        R = e.s_diag[..., None] * jnp.eye(e.s_diag.shape[-1], dtype=e.s_diag.dtype)
+        return e.C, e.c, R
+    if isinstance(e, em.BottleneckEmissions):
+        A = e.C @ e.H
+        d = jnp.einsum("...ij,...j->...i", e.C, e.h) + e.c
+        R = e.s_diag[..., None] * jnp.eye(e.s_diag.shape[-1], dtype=e.s_diag.dtype)
+        return A, d, R
+    raise TypeError(type(e))
 
 
 def _mT(X):
@@ -112,11 +139,15 @@ def _identity_element(B, D, dtype):
 
 
 def _supports(model) -> bool:
-    return model.trans.forward and isinstance(model.emis, em.ScalarEmissions)
+    return model.trans.forward
 
 
 def _lanes_supported(model) -> bool:
-    return _supports(model) and model.latent_dim <= 3
+    return (
+        _supports(model)
+        and isinstance(model.emis, em.ScalarEmissions)
+        and model.latent_dim <= 3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -207,13 +238,16 @@ def _pad_tail(model, y, B):
 
     Pad steps reuse the model's own transitions but observe nothing: their
     observation variance is LARGE_VAR and their lml contribution is the
-    closed-form constant -log(2 pi LARGE_VAR)/2 each, which we return as a
+    closed-form constant -dim_out * log(2 pi LARGE_VAR)/2 each, returned as a
     compensation — exactly the reference's missing-data mechanism
     (reference: src/models/missings.jl:43-53) applied to alignment padding.
     Relative error is O(HPH^T / LARGE_VAR) ~ 1e-15.
 
-    Returns (params_padded, y_padded, s_padded, n_pad, compensation).
+    Returns (params_padded, y_padded, s_padded_or_None, n_pad, compensation).
     """
+    import dataclasses
+    import math
+
     from ..config import LARGE_VAR
 
     N = len(model)
@@ -222,22 +256,22 @@ def _pad_tail(model, y, B):
     dtype = model.trans.x0.dtype
     y = jnp.asarray(y, dtype)
     e = model.emis
-    s = e.s
-    s_arr = (
-        jnp.broadcast_to(s.value, (s.N,)).astype(dtype)
-        if is_fill(s)
-        else jnp.asarray(s, dtype)
-    )
+    scalar = isinstance(e, em.ScalarEmissions)
+    s_arr = None
+    if scalar:
+        s = e.s
+        s_arr = (
+            jnp.broadcast_to(s.value, (s.N,)).astype(dtype)
+            if is_fill(s)
+            else jnp.asarray(s, dtype)
+        )
     if n_pad == 0:
         params = ((model.trans.As, model.trans.offs, model.trans.Qs), e)
         return params, y, s_arr, 0, jnp.zeros((), dtype)
 
-    import math
-
-    y_p = jnp.concatenate([y, jnp.zeros((n_pad,), dtype)])
-    s_p = jnp.concatenate([s_arr, jnp.full((n_pad,), LARGE_VAR, dtype)])
+    dout = em.dim_out(e) if not scalar else 1
     comp = jnp.asarray(
-        n_pad * 0.5 * math.log(2.0 * math.pi * LARGE_VAR), dtype
+        n_pad * dout * 0.5 * math.log(2.0 * math.pi * LARGE_VAR), dtype
     )
 
     def pad_leaf(leaf, pad_value_fn):
@@ -246,18 +280,60 @@ def _pad_tail(model, y, B):
         pad = jnp.broadcast_to(pad_value_fn(leaf), (n_pad,) + leaf.shape[1:])
         return jnp.concatenate([leaf, pad.astype(leaf.dtype)], axis=0)
 
+    def pad_array(arr, fill_value):
+        pad = jnp.full((n_pad,) + arr.shape[1:], fill_value, arr.dtype)
+        return jnp.concatenate([arr, pad], axis=0)
+
     t = model.trans
     D = model.latent_dim
     As_p = pad_leaf(t.As, lambda l: jnp.eye(D, dtype=l.dtype))
     offs_p = pad_leaf(t.offs, lambda l: jnp.zeros((D,), l.dtype))
     Qs_p = pad_leaf(t.Qs, lambda l: jnp.zeros((D, D), l.dtype))
-    H_p = pad_leaf(e.H, lambda l: jnp.zeros((D,), l.dtype))
-    h_p = pad_leaf(e.h, lambda l: jnp.zeros((), l.dtype))
-    e_p = em.ScalarEmissions(H=H_p, h=h_p, s=s_p)
-    # NB: when H is a Fill, padded steps see the real H with LARGE_VAR noise
-    # (error ~1e-15); when H is an array, padded H rows are exactly zero and
-    # the compensation is exact up to log(1 + HQH/LARGE).
-    return ((As_p, offs_p, Qs_p), e_p), y_p, s_p, n_pad, comp
+
+    zeros_like_leaf = lambda l: jnp.zeros(jnp.shape(l)[1:], l.dtype)
+    if scalar:
+        y_p = pad_array(y, 0.0)
+        s_p = jnp.concatenate([s_arr, jnp.full((n_pad,), LARGE_VAR, dtype)])
+        e_p = em.ScalarEmissions(
+            H=pad_leaf(e.H, zeros_like_leaf), h=pad_leaf(e.h, zeros_like_leaf), s=s_p
+        )
+        return ((As_p, offs_p, Qs_p), e_p), y_p, s_p, n_pad, comp
+
+    y_p = pad_array(y, 0.0)
+    if isinstance(e, em.DenseEmissions):
+        S = e.S
+        S_arr = (
+            jnp.broadcast_to(S.value, (S.N,) + jnp.shape(S.value)).astype(dtype)
+            if is_fill(S)
+            else jnp.asarray(S, dtype)
+        )
+        S_pad = jnp.broadcast_to(
+            LARGE_VAR * jnp.eye(dout, dtype=dtype), (n_pad, dout, dout)
+        )
+        e_p = em.DenseEmissions(
+            H=pad_leaf(e.H, zeros_like_leaf),
+            h=pad_leaf(e.h, zeros_like_leaf),
+            S=jnp.concatenate([S_arr, S_pad], axis=0),
+        )
+    else:  # Large / Bottleneck: diagonal noise leaf
+        sd = e.s_diag
+        sd_arr = (
+            jnp.broadcast_to(sd.value, (sd.N,) + jnp.shape(sd.value)).astype(dtype)
+            if is_fill(sd)
+            else jnp.asarray(sd, dtype)
+        )
+        sd_p = jnp.concatenate(
+            [sd_arr, jnp.full((n_pad, dout), LARGE_VAR, dtype)], axis=0
+        )
+        fields = {
+            f.name: pad_leaf(getattr(e, f.name), zeros_like_leaf)
+            for f in dataclasses.fields(e)
+            if f.name != "s_diag"
+        }
+        e_p = dataclasses.replace(e, s_diag=sd_p, **{
+            k: v for k, v in fields.items()
+        })
+    return ((As_p, offs_p, Qs_p), e_p), y_p, None, n_pad, comp
 
 
 def _phase1_aggregates(blocked, B, D, dtype):

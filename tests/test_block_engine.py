@@ -62,3 +62,15 @@ def test_fallbacks(rng):
     lp_seq = float(logpdf(model, y, engine="sequential"))
     lp_blk = float(logpdf(model, y, engine="block"))
     np.testing.assert_allclose(lp_blk, lp_seq, rtol=1e-8)
+
+
+@pytest.mark.parametrize("kind,Dout", [("dense", 2), ("large", 4), ("bottleneck", 4)])
+def test_vector_emissions_block_logpdf(rng, kind, Dout):
+    """Generalised block engine handles vector emissions (with pad tails)."""
+    from temporalgps_tpu.ops import block
+
+    model = random_lgssm(rng, kind=kind, D=3, Dout=Dout, N=21, time_varying=True)
+    y = random_obs(rng, model)
+    lp_blk = float(block.logpdf(model, y, n_blocks=4))
+    lp_seq = float(logpdf(model, y, engine="sequential"))
+    np.testing.assert_allclose(lp_blk, lp_seq, rtol=1e-8, atol=1e-8)
