@@ -17,6 +17,16 @@ import jax
 if os.environ.get("TEMPORALGPS_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# TPU f32 matmuls default to bfloat16 passes; covariance recursions on
+# ill-conditioned grams (spatio-temporal kernels) lose PSD-ness at bf16 and
+# the Cholesky NaNs. True-f32 matmuls are required for correctness here and
+# cost little on the small/medium matrices this library runs.
+if os.environ.get("TEMPORALGPS_MATMUL_PRECISION", "highest") != "default":
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("TEMPORALGPS_MATMUL_PRECISION", "highest"),
+    )
+
 # Jitter constants, chosen to match the reference semantics exactly:
 #  - 1e-12: default observation noise of a FiniteGP over an LTISDE
 #    (reference: src/gp/lti_sde.jl:27-29) and `ident_eps` default
