@@ -20,10 +20,17 @@ def __getattr__(name):
     if name.startswith("_") or name in ("gp", "space_time", "models", "ops",
                                         "parallel", "utils", "learning"):
         raise AttributeError(name)
+    import types
+
     for mod_name in ("gp", "space_time"):
         mod = importlib.import_module(f"{__name__}.{mod_name}")
         if hasattr(mod, name):
-            return getattr(mod, name)
+            attr = getattr(mod, name)
+            # Submodules loaded as import side effects (e.g. gp.posterior)
+            # must not shadow same-named functions: the winner would depend
+            # on import order.
+            if not isinstance(attr, types.ModuleType):
+                return attr
     if name == "posterior":
         return importlib.import_module(f"{__name__}.gp.posterior").posterior
     if name == "fit":

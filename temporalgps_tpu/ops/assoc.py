@@ -51,8 +51,16 @@ def _minv(C, J):
         return psd.small_inv(M)
     # Cholesky congruence: C = Lc Lc' (jittered); then
     # (I + C J)^{-1} = Lc (I + Lc' J Lc)^{-1} Lc^{-1}, SPD inner solve.
-    eps = 1e-10
-    Lc = psd.cholesky(psd.add_jitter(psd.symmetrize(C), eps))
+    # Jitter scaled to dtype round-off AND to the magnitude of C: a fixed
+    # 1e-10 is below f32 noise for big-D spatio-temporal covariances
+    # (Kr (x) P_inf grams), whose symmetrized round-off is ~sqrt(D)*eps*|C|.
+    Cs = psd.symmetrize(C)
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(Cs, axis1=-2, axis2=-1)), axis=-1),
+        jnp.asarray(1.0, C.dtype),
+    )
+    eps = psd.dtype_jitter(C.dtype, f64_eps=1e-10, f32_eps=3e-6) * scale
+    Lc = psd.cholesky(Cs + eps[..., None, None] * I)
     S = psd.symmetrize(_mT(Lc) @ J @ Lc) + I
     Ls = psd.cholesky(S)
     Lc_inv = psd.tri_solve(Lc, jnp.broadcast_to(I, Lc.shape))

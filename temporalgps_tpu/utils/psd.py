@@ -109,6 +109,12 @@ def tri_solve(L, B, *, lower=True, trans=False):
     D = L.shape[-1]
     if D <= 4:
         return _tri_solve_unrolled(L, B, D, lower, trans)
+    # jax.scipy.solve_triangular does not numpy-broadcast mismatched batch
+    # dims (e.g. block-batched L (B,D,D) vs time-invariant Fill rhs (D,K));
+    # broadcast explicitly.
+    batch = jnp.broadcast_shapes(L.shape[:-2], B.shape[:-2])
+    L = jnp.broadcast_to(L, batch + L.shape[-2:])
+    B = jnp.broadcast_to(B, batch + B.shape[-2:])
     return jax.scipy.linalg.solve_triangular(
         L, B, lower=lower, trans=1 if trans else 0
     )

@@ -82,6 +82,37 @@ def test_exact_spacetime_engines_match(rng):
     np.testing.assert_allclose(lp_par, lp_seq, rtol=1e-9)
 
 
+def test_exact_spacetime_engines_f32_big_grid(rng):
+    """Regression: f32 + big spatial grid (D = Ns*Dt = 60, Dout = 20 > 4).
+
+    Covers two historical failures: (a) psd.tri_solve's LAPACK fallback did
+    not broadcast block-batched L against Fill-derived unbatched rhs, and
+    (b) assoc._minv's fixed 1e-10 jitter was below f32 round-off for
+    ill-conditioned Kr (x) P_inf covariances, NaN-ing parallel/block engines.
+    """
+    from temporalgps_tpu.gp import ArrayStorage
+    from temporalgps_tpu.gp import lti_sde as api
+    from temporalgps_tpu.models import lgssm as lg
+
+    dtype = jnp.float32
+    ns, nt = 20, 50
+    r = jnp.asarray(np.linspace(-3, 3, ns), dtype)
+    x = RectilinearGrid(
+        r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), nt)
+    )
+    k = Separable(EQ().stretch(0.7), Matern52())
+    fx = to_sde(GP(k), ArrayStorage(dtype))(x, jnp.asarray(0.1, dtype))
+    model = api.build_lgssm(fx)
+    y = jnp.asarray(rng.standard_normal((nt, ns)), dtype)
+    lp_seq = float(lg.logpdf(model, y, engine="sequential"))
+    # n_blocks=7 does not divide nt: exercises the padded-tail schedule.
+    lp_blk = float(lg.logpdf(model, y, engine="block", n_blocks=7))
+    lp_par = float(lg.logpdf(model, y, engine="parallel"))
+    assert np.isfinite(lp_seq)
+    np.testing.assert_allclose(lp_blk, lp_seq, rtol=5e-5)
+    np.testing.assert_allclose(lp_par, lp_seq, rtol=5e-4)
+
+
 def test_exact_spacetime_rand(rng):
     import jax
 
