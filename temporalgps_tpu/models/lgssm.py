@@ -59,11 +59,24 @@ def _step_params(model: LGSSM):
     return (_trans_params(model), model.emis)
 
 
-DEFAULT_ENGINE = "sequential"
+# None = auto: "block" on the TPU backend when the model supports it (the
+# sequential scan's per-iteration dispatch overhead makes it ~3 orders of
+# magnitude slower there), "sequential" elsewhere (exact, and fastest to
+# trace/compile on CPU). Set to an engine name to force it globally.
+DEFAULT_ENGINE = None
 
 
-def _resolve_engine(engine):
-    return DEFAULT_ENGINE if engine is None else engine
+def _resolve_engine(engine, model=None):
+    if engine is not None:
+        return engine
+    if DEFAULT_ENGINE is not None:
+        return DEFAULT_ENGINE
+    if model is not None and jax.default_backend() == "tpu":
+        from ..ops import block
+
+        if block._supports(model):
+            return "block"
+    return "sequential"
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +88,7 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None):
     (reference: src/models/lgssm.jl:147-165). `pallas=False` forces the
     pure-XLA block schedule (required under forward-mode jvp, which cannot
     cross the Pallas custom_vjp)."""
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, model)
     if engine == "parallel":
         from ..ops import assoc
 
@@ -105,7 +118,7 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None):
 def filter_(model: LGSSM, y, *, engine=None):
     """Filtering distributions at every step
     (reference: src/models/lgssm.jl:171-187). Returns a stacked Gaussian."""
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, model)
     if engine == "parallel":
         from ..ops import assoc
 
@@ -139,7 +152,7 @@ def filter_(model: LGSSM, y, *, engine=None):
 def marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Observation-space marginal at every step (dense covariance)
     (reference: src/models/lgssm.jl:99-115)."""
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
         from ..ops import assoc
 
@@ -164,7 +177,7 @@ def marginals(model: LGSSM, *, engine=None) -> Gaussian:
 def marginals_diag(model: LGSSM, *, engine=None):
     """Observation-space marginal means and variance diagonals
     (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
         from ..ops import assoc
 
@@ -188,7 +201,7 @@ def marginals_diag(model: LGSSM, *, engine=None):
 
 def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Marginals of the latent chain itself (stacked Gaussian)."""
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
         from ..ops import assoc
 
@@ -240,7 +253,7 @@ def rand(key, model: LGSSM, *, engine=None):
         Dout = em.dim_out(model.emis)
         eps_e = jax.random.normal(ke, (N, Dout), x_init.dtype)
 
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
         from ..ops import assoc
 
@@ -292,7 +305,7 @@ def posterior(model: LGSSM, y, *, engine=None) -> LGSSM:
     """Filter forward, emitting the inverted dynamics; return the smoother as
     an LGSSM with reversed ordering whose x0 is the final filtering
     distribution (reference: src/models/lgssm.jl:193-228)."""
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
         from ..ops import assoc
 
