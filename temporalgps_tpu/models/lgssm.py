@@ -74,7 +74,12 @@ def _resolve_engine(engine, model=None):
     if model is not None and jax.default_backend() == "tpu":
         from ..ops import block
 
-        if block._supports(model):
+        # Block wins where per-iteration dispatch overhead dominates (small
+        # per-step compute). Measured on v5e: D=3 scalar 210 Msteps/s vs
+        # 0.05 sequential; but D=150 spatio-temporal 141 ms vs 25 ms
+        # sequential (the element algebra's ~3x flops in D^3 ops loses once
+        # compute dominates). Crossover is around D ~ 32.
+        if block._supports(model) and model.latent_dim <= 32:
             return "block"
     return "sequential"
 

@@ -1,3 +1,11 @@
-from .sharded import sharded_logpdf
+from .sharded import (
+    sharded_logpdf,
+    sharded_posterior_marginals,
+    sharded_posterior_rand,
+)
 
-__all__ = ["sharded_logpdf"]
+__all__ = [
+    "sharded_logpdf",
+    "sharded_posterior_marginals",
+    "sharded_posterior_rand",
+]

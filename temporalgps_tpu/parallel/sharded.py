@@ -57,6 +57,16 @@ def _rebuild(treedef, fill_mask, arrs, fills, n_local):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _check_divisible(N, mesh, time_axis):
+    n_dev = mesh.shape[time_axis]
+    if N % n_dev != 0:
+        raise ValueError(
+            f"series length {N} must be divisible by the {time_axis!r} mesh "
+            f"axis size {n_dev}; pad the series (NaN observations are treated "
+            "as missing, models/missings.py) to a multiple."
+        )
+
+
 def sharded_logpdf(
     model,
     y,
@@ -76,6 +86,7 @@ def sharded_logpdf(
         raise NotImplementedError(
             "sharded_logpdf supports forward scalar-emission models"
         )
+    _check_divisible(jnp.shape(y)[-1], mesh, time_axis)
     D = model.latent_dim
     x0 = model.trans.x0
     dtype = x0.dtype
@@ -140,3 +151,307 @@ def sharded_logpdf(
         check_rep=False,
     )
     return fn(jnp.asarray(y), tuple(arrs), tuple(fills), (x0.mean, x0.cov))
+
+
+# ---------------------------------------------------------------------------
+# Distributed smoother / posterior sampler
+# ---------------------------------------------------------------------------
+#
+# Both passes mirror the distributed filter: local chunk reduction to O(D^2)
+# elements, ONE all_gather, a tiny per-device prefix, local finish. The
+# backward (smoothing) recursion composes the inverted dynamics
+# x_{t-1} | x_t ~ N(G_t x_t + g_t, L_t) (reference semantics:
+# src/models/lgssm.jl:193-240) as affine-Gaussian elements, so the suffix
+# composition from the series end is associative and shards over time exactly
+# like the forward filter.
+
+
+def _local_reverse_dynamics(params, y_loc, start, D, dtype, n_blocks):
+    """Filter a chunk from its exact boundary state and invert its dynamics.
+
+    Returns (G, g, L) with leading local-time axis: step t's element maps the
+    smoothed distribution at t to the smoothed distribution at t-1.
+    """
+    from ..models.gauss_markov import GaussMarkov
+    from ..models.lgssm import LGSSM, _invert_dynamics
+    from ..ops.assoc import _batched_predict
+    from ..utils.fill import tmaterialize
+
+    (As, offs, Qs), emis = params
+    local_model = LGSSM(
+        GaussMarkov(As=As, offs=offs, Qs=Qs, x0=start, forward=True), emis
+    )
+    xfs = block.filter_(local_model, y_loc, n_blocks=n_blocks)  # (n, D)
+
+    F = tmaterialize(As).astype(dtype)
+    c = tmaterialize(offs).astype(dtype)
+    Q = tmaterialize(Qs).astype(dtype)
+    prev = Gaussian(
+        jnp.concatenate([start.mean[None].astype(dtype), xfs.mean[:-1]], axis=0),
+        jnp.concatenate([psd.symmetrize(start.cov)[None].astype(dtype), xfs.cov[:-1]], axis=0),
+    )
+    xp = _batched_predict(prev, F, c, Q)
+    G, g, L = _invert_dynamics(prev, xp, F)
+    return (G, g, L), xfs
+
+
+def _suffix_boundary(elems_rev_total, time_axis):
+    """all_gather per-device backward elements and return this device's
+    suffix composition R_d: the affine-Gaussian map from the global final
+    state to this device's last step."""
+    from ..ops.assoc import _combine_affine
+
+    all_T = jax.lax.all_gather(elems_rev_total, time_axis)  # (n_dev, ...)
+    n_dev = all_T[0].shape[0]
+    ident = (
+        jnp.eye(all_T[0].shape[-1], dtype=all_T[0].dtype),
+        jnp.zeros_like(all_T[1][0]),
+        jnp.zeros_like(all_T[2][0]),
+    )
+    # Exclusive fold in DECREASING device order: carry before device d's
+    # total is the composition of all devices to its right.
+    rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), all_T)
+
+    def fold(c, e):
+        return _combine_affine(c, e), c
+
+    _, excl_rev = jax.lax.scan(fold, ident, rev)
+    idx = jax.lax.axis_index(time_axis)
+    return jax.tree_util.tree_map(
+        lambda a: a[n_dev - 1 - idx], excl_rev
+    )
+
+
+def _apply_affine(elem, x: Gaussian) -> Gaussian:
+    A, b, C = elem
+    m = jnp.einsum("...ij,...j->...i", A, x.mean) + b
+    P = psd.symmetrize(A @ psd.symmetrize(x.cov) @ jnp.swapaxes(A, -1, -2) + C)
+    return Gaussian(m, P)
+
+
+def sharded_posterior_marginals(
+    model,
+    y,
+    mesh: Mesh,
+    *,
+    time_axis: str = "t",
+    observation_space: bool = True,
+    n_blocks: Optional[int] = None,
+):
+    """Distributed RTS smoothing: posterior marginals at every step.
+
+    The result stays sharded over `time_axis`. With `observation_space=True`
+    returns (means, vars) of the emission marginals N(H m + h, H P H' + s)
+    under the smoothing posterior — the distributed counterpart of
+    `marginals_diag(posterior(model, y))`; otherwise the smoothed latent
+    Gaussian chain.
+    """
+    if not model.trans.forward or not isinstance(model.emis, em.ScalarEmissions):
+        raise NotImplementedError(
+            "sharded smoothing supports forward scalar-emission models"
+        )
+    _check_divisible(jnp.shape(y)[-1], mesh, time_axis)
+    from ..ops.assoc import _combine_affine
+
+    D = model.latent_dim
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    treedef, fill_mask, arrs, fills = _flatten_params(model)
+
+    y_spec = P(time_axis)
+    arr_specs = tuple(P(time_axis) for _ in arrs)
+    fill_specs = tuple(P() for _ in fills)
+    x0_spec = (P(), P())
+    out_spec = (P(time_axis), P(time_axis))
+
+    def local_fn(y_loc, arrs_loc, fills_loc, x0_loc):
+        n_local = y_loc.shape[-1]
+        params = _rebuild(treedef, fill_mask, list(arrs_loc), list(fills_loc), n_local)
+        x0_g = Gaussian(*x0_loc)
+
+        # ---- forward: boundary filtering states (as in sharded_logpdf)
+        agg = block.chunk_total_element((params, y_loc), D, dtype, n_blocks=n_blocks)
+        all_agg = jax.lax.all_gather(agg, time_axis)
+        prior = (
+            jnp.zeros((D, D), dtype),
+            x0_g.mean.astype(dtype),
+            psd.symmetrize(x0_g.cov).astype(dtype),
+            jnp.zeros((D,), dtype),
+            jnp.zeros((D, D), dtype),
+        )
+
+        def ffold(c, e):
+            return _combine(c, e), c
+
+        incl, excl = jax.lax.scan(ffold, prior, all_agg)
+        idx = jax.lax.axis_index(time_axis)
+        start_elem = jax.tree_util.tree_map(lambda a: a[idx], excl)
+        start = Gaussian(start_elem[1], start_elem[2])
+        x_final = Gaussian(incl[1], incl[2])  # filtering state at step N
+
+        # ---- local dynamics inversion
+        (G, g, L), _xfs = _local_reverse_dynamics(
+            params, y_loc, start, D, dtype, n_blocks
+        )
+
+        # ---- backward: suffix composition across devices
+        elems_rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), (G, g, L))
+        ident1 = (
+            jnp.eye(D, dtype=dtype)[None],
+            jnp.zeros((1, D), dtype),
+            jnp.zeros((1, D, D), dtype),
+        )
+        with_ident = tuple(
+            jnp.concatenate([i, e], axis=0) for i, e in zip(ident1, elems_rev)
+        )
+        pref = jax.lax.associative_scan(_combine_affine, with_ident, axis=0)
+        total = jax.tree_util.tree_map(lambda a: a[-1], pref)
+        R = _suffix_boundary(total, time_axis)
+        x_end = _apply_affine(R, x_final)  # smoothed state at this chunk's last step
+
+        # prefix k (0..n_local-1) composes E_{end} .. E_{end-k+1}: applying it
+        # to x_end gives the smoothed marginal k steps before the chunk end.
+        pref_head = jax.tree_util.tree_map(lambda a: a[:-1], pref)
+        sm_rev = _apply_affine(pref_head, x_end)
+        xs = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), sm_rev)
+
+        if not observation_space:
+            return xs.mean, xs.cov
+        H, h, s = params[1].H, params[1].h, params[1].s
+        from ..utils.fill import tmaterialize
+
+        Hm = tmaterialize(H).astype(dtype)
+        hm = tmaterialize(h).astype(dtype)
+        sm = tmaterialize(s).astype(dtype)
+        mean = jnp.einsum("ni,ni->n", Hm, xs.mean) + hm
+        var = jnp.einsum("ni,nij,nj->n", Hm, xs.cov, Hm) + sm
+        return mean, var
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(y_spec, arr_specs, fill_specs, x0_spec),
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    out = fn(jnp.asarray(y), tuple(arrs), tuple(fills), (x0.mean, x0.cov))
+    return Gaussian(*out) if not observation_space else out
+
+
+def sharded_posterior_rand(
+    key,
+    model,
+    y,
+    mesh: Mesh,
+    *,
+    time_axis: str = "t",
+    n_blocks: Optional[int] = None,
+):
+    """Distributed joint posterior sample of the latent function values
+    (H x_t + h, the noiseless emission mean), sharded over `time_axis`.
+
+    Backward simulation: x_N ~ filtering final, x_{t-1} = G_t x_t + g_t + w_t,
+    w_t ~ N(0, L_t) — composed distributionally as affine-MEAN elements
+    (G_t, g_t + chol(L_t) eps_t), which shard exactly like the marginals.
+    """
+    if not model.trans.forward or not isinstance(model.emis, em.ScalarEmissions):
+        raise NotImplementedError(
+            "sharded sampling supports forward scalar-emission models"
+        )
+    _check_divisible(jnp.shape(y)[-1], mesh, time_axis)
+    from ..ops.assoc import _combine_affine_mean
+
+    D = model.latent_dim
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    N = jnp.shape(y)[-1]
+    treedef, fill_mask, arrs, fills = _flatten_params(model)
+
+    # Pre-draw ALL randomness outside shard_map (the reference pre-draws
+    # epsilons for re-executability, reference: src/models/lgssm.jl:72-77;
+    # here it also keeps the shard_map body deterministic).
+    k_eps, k_final = jax.random.split(key)
+    eps = jax.random.normal(k_eps, (N, D), dtype)
+    eps_final = jax.random.normal(k_final, (D,), dtype)
+
+    y_spec = P(time_axis)
+    arr_specs = tuple(P(time_axis) for _ in arrs)
+    fill_specs = tuple(P() for _ in fills)
+
+    def local_fn(y_loc, eps_loc, eps_f, arrs_loc, fills_loc, x0_loc):
+        n_local = y_loc.shape[-1]
+        params = _rebuild(treedef, fill_mask, list(arrs_loc), list(fills_loc), n_local)
+        x0_g = Gaussian(*x0_loc)
+
+        agg = block.chunk_total_element((params, y_loc), D, dtype, n_blocks=n_blocks)
+        all_agg = jax.lax.all_gather(agg, time_axis)
+        prior = (
+            jnp.zeros((D, D), dtype),
+            x0_g.mean.astype(dtype),
+            psd.symmetrize(x0_g.cov).astype(dtype),
+            jnp.zeros((D,), dtype),
+            jnp.zeros((D, D), dtype),
+        )
+
+        def ffold(c, e):
+            return _combine(c, e), c
+
+        incl, excl = jax.lax.scan(ffold, prior, all_agg)
+        idx = jax.lax.axis_index(time_axis)
+        start_elem = jax.tree_util.tree_map(lambda a: a[idx], excl)
+        start = Gaussian(start_elem[1], start_elem[2])
+
+        (G, g, L), _xfs = _local_reverse_dynamics(
+            params, y_loc, start, D, dtype, n_blocks
+        )
+        # realized backward-step offsets
+        Lc = psd.cholesky(psd.add_jitter(psd.symmetrize(L), 1e-12))
+        b = g + jnp.einsum("nij,nj->ni", Lc, eps_loc)
+
+        # x_N sample: identical on every device (same final state + eps_f)
+        Pf = psd.symmetrize(incl[2])
+        x_fin = incl[1] + jnp.einsum(
+            "ij,j->i", psd.cholesky(psd.add_jitter(Pf, 1e-12)), eps_f
+        )
+
+        elems_rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), (G, b))
+        ident1 = (jnp.eye(D, dtype=dtype)[None], jnp.zeros((1, D), dtype))
+        with_ident = tuple(
+            jnp.concatenate([i, e], axis=0) for i, e in zip(ident1, elems_rev)
+        )
+        pref = jax.lax.associative_scan(_combine_affine_mean, with_ident, axis=0)
+        total = (pref[0][-1], pref[1][-1])
+
+        all_T = jax.lax.all_gather(total, time_axis)
+        n_dev = all_T[0].shape[0]
+        identm = (jnp.eye(D, dtype=dtype), jnp.zeros((D,), dtype))
+        rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), all_T)
+
+        def bfold(c, e):
+            return _combine_affine_mean(c, e), c
+
+        _, excl_rev = jax.lax.scan(bfold, identm, rev)
+        Rm = jax.tree_util.tree_map(lambda a: a[n_dev - 1 - idx], excl_rev)
+        x_end = jnp.einsum("ij,j->i", Rm[0], x_fin) + Rm[1]
+
+        pref_head = (pref[0][:-1], pref[1][:-1])
+        xs_rev = jnp.einsum("nij,j->ni", pref_head[0], x_end) + pref_head[1]
+        xs = jnp.flip(xs_rev, 0)
+
+        from ..utils.fill import tmaterialize
+
+        Hm = tmaterialize(params[1].H).astype(dtype)
+        hm = tmaterialize(params[1].h).astype(dtype)
+        return jnp.einsum("ni,ni->n", Hm, xs) + hm
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(y_spec, P(time_axis), P(), arr_specs, fill_specs, (P(), P())),
+        out_specs=P(time_axis),
+        check_rep=False,
+    )
+    return fn(
+        jnp.asarray(y), eps, eps_final, tuple(arrs), tuple(fills),
+        (x0.mean, x0.cov),
+    )

@@ -94,3 +94,73 @@ def test_sharded_logpdf_fwd_grad(rng):
     v2, g2 = jax.jit(jax.value_and_grad(loss))(jnp.asarray(0.1))
     np.testing.assert_allclose(float(v), float(v2), rtol=1e-10)
     np.testing.assert_allclose(float(g), float(g2), rtol=1e-8)
+
+
+def test_sharded_posterior_marginals_matches_single(rng):
+    """Distributed RTS smoother == single-device posterior marginals_diag."""
+    from temporalgps_tpu.models import lgssm as lg
+    from temporalgps_tpu.parallel import sharded_posterior_marginals
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    model, y = _model_and_y(rng)
+    mean_sh, var_sh = jax.jit(
+        lambda y_: sharded_posterior_marginals(model, y_, mesh)
+    )(y)
+    post = lg.posterior(model, y, engine="sequential")
+    mref, vref = lg.marginals_diag(post, engine="sequential")
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(vref), atol=1e-9)
+
+
+def test_sharded_posterior_marginals_irregular(rng):
+    from temporalgps_tpu.models import lgssm as lg
+    from temporalgps_tpu.parallel import sharded_posterior_marginals
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    model, y = _model_and_y(rng, irregular=True)
+    mean_sh, var_sh = sharded_posterior_marginals(model, y, mesh)
+    post = lg.posterior(model, y, engine="sequential")
+    mref, vref = lg.marginals_diag(post, engine="sequential")
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(vref), atol=1e-9)
+
+
+def test_sharded_posterior_latent_chain(rng):
+    from temporalgps_tpu.models import lgssm as lg
+    from temporalgps_tpu.parallel import sharded_posterior_marginals
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    model, y = _model_and_y(rng)
+    xs = sharded_posterior_marginals(model, y, mesh, observation_space=False)
+    post = lg.posterior(model, y, engine="sequential")
+    ref = lg.latent_marginals(post, engine="sequential")
+    np.testing.assert_allclose(np.asarray(xs.mean), np.asarray(ref.mean), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(xs.cov), np.asarray(ref.cov), atol=1e-9)
+
+
+def test_sharded_posterior_rand_statistics(rng):
+    """Backward-simulation sampler: empirical mean/var converge to the
+    smoothed emission marginals (without observation noise)."""
+    from temporalgps_tpu.parallel import (
+        sharded_posterior_marginals,
+        sharded_posterior_rand,
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    model, y = _model_and_y(rng)
+    mean_sh, var_sh = sharded_posterior_marginals(model, y, mesh)
+    lat_var = np.asarray(var_sh) - 0.2  # _model_and_y noise
+    ks = jax.random.split(jax.random.PRNGKey(3), 300)
+    samps = np.asarray(
+        jax.vmap(lambda k: sharded_posterior_rand(k, model, y, mesh))(ks)
+    )
+    assert samps.shape == (300, N)
+    assert np.all(np.isfinite(samps))
+    se_mean = np.sqrt(lat_var / 300)
+    np.testing.assert_array_less(
+        np.abs(samps.mean(0) - np.asarray(mean_sh)), 5 * se_mean + 1e-12
+    )
+    se_var = lat_var * np.sqrt(2.0 / 299)
+    np.testing.assert_array_less(
+        np.abs(samps.var(0, ddof=1) - lat_var), 6 * se_var + 1e-12
+    )
