@@ -18,14 +18,28 @@ if os.environ.get("TEMPORALGPS_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
 # TPU f32 matmuls default to bfloat16 passes; covariance recursions on
-# ill-conditioned grams (spatio-temporal kernels) lose PSD-ness at bf16 and
-# the Cholesky NaNs. True-f32 matmuls are required for correctness here and
-# cost little on the small/medium matrices this library runs.
-if os.environ.get("TEMPORALGPS_MATMUL_PRECISION", "highest") != "default":
-    jax.config.update(
-        "jax_default_matmul_precision",
-        os.environ.get("TEMPORALGPS_MATMUL_PRECISION", "highest"),
-    )
+# ill-conditioned grams (spatio-temporal kernels, latent dim > 4) lose
+# PSD-ness at bf16 and the Cholesky NaNs. Rather than forcing 'highest'
+# globally (measured: -17% on the small-state headline, whose 3x3 ops are
+# fine at default), the inference drivers trace big-state models under a
+# `jax.default_matmul_precision("highest")` context (see precision_ctx).
+# TEMPORALGPS_MATMUL_PRECISION forces a global setting as an escape hatch.
+_prec_env = os.environ.get("TEMPORALGPS_MATMUL_PRECISION", "")
+if _prec_env:
+    jax.config.update("jax_default_matmul_precision", _prec_env)
+
+
+def precision_ctx(latent_dim: int):
+    """Matmul-precision context for tracing inference over a model of the
+    given state dimension: true-f32 ('highest') for big states, ambient
+    default for the small closed-form states (D <= 4)."""
+    import contextlib
+
+    if _prec_env:  # global override active: don't fight it
+        return contextlib.nullcontext()
+    if latent_dim > 4:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
 
 # Jitter constants, chosen to match the reference semantics exactly:
 #  - 1e-12: default observation noise of a FiniteGP over an LTISDE

@@ -22,12 +22,13 @@ Step order per ordering matches the reference exactly:
   Reverse: emit/update first, then transition      (lgssm.jl:161-165)
 """
 
+import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
-from ..config import POSTERIOR_JITTER
+from ..config import POSTERIOR_JITTER, precision_ctx
 from ..ops import lgc
 from ..utils import psd
 from ..utils.fill import scan_emit, time_length, tindex
@@ -84,10 +85,29 @@ def _resolve_engine(engine, model=None):
     return "sequential"
 
 
+
+
+def _with_precision(model_arg=0):
+    """Trace the wrapped driver under the state-dim-appropriate matmul
+    precision (config.precision_ctx): big-state f32 covariance recursions
+    need true-f32 matmuls on TPU; small states keep the faster default."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with precision_ctx(args[model_arg].latent_dim):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # logpdf / filter
 # ---------------------------------------------------------------------------
 
+@_with_precision()
 def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None):
     """Log marginal likelihood via the Kalman filter
     (reference: src/models/lgssm.jl:147-165). `pallas=False` forces the
@@ -120,6 +140,7 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None):
     return jnp.sum(lmls)
 
 
+@_with_precision()
 def filter_(model: LGSSM, y, *, engine=None):
     """Filtering distributions at every step
     (reference: src/models/lgssm.jl:171-187). Returns a stacked Gaussian."""
@@ -154,6 +175,7 @@ def filter_(model: LGSSM, y, *, engine=None):
 # marginals
 # ---------------------------------------------------------------------------
 
+@_with_precision()
 def marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Observation-space marginal at every step (dense covariance)
     (reference: src/models/lgssm.jl:99-115)."""
@@ -179,6 +201,7 @@ def marginals(model: LGSSM, *, engine=None) -> Gaussian:
     return ys
 
 
+@_with_precision()
 def marginals_diag(model: LGSSM, *, engine=None):
     """Observation-space marginal means and variance diagonals
     (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
@@ -204,6 +227,7 @@ def marginals_diag(model: LGSSM, *, engine=None):
     return out
 
 
+@_with_precision()
 def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Marginals of the latent chain itself (stacked Gaussian)."""
     engine = _resolve_engine(engine, model)
@@ -238,6 +262,7 @@ def _emis_batched(model: LGSSM):
 # sampling
 # ---------------------------------------------------------------------------
 
+@_with_precision(model_arg=1)
 def rand(key, model: LGSSM, *, engine=None):
     """Joint sample of the observations (reference: src/models/lgssm.jl:65-91).
 
@@ -306,6 +331,7 @@ def _invert_dynamics(first: Gaussian, second: Gaussian, A):
     return A_rev, a_rev, Q_rev
 
 
+@_with_precision()
 def posterior(model: LGSSM, y, *, engine=None) -> LGSSM:
     """Filter forward, emitting the inverted dynamics; return the smoother as
     an LGSSM with reversed ordering whose x0 is the final filtering

@@ -32,6 +32,7 @@ with warnings.catch_warnings():
     warnings.simplefilter("ignore", DeprecationWarning)
     from jax.experimental.shard_map import shard_map
 
+from ..config import precision_ctx
 from ..models import emissions as em
 from ..ops import block
 from ..ops.assoc import _combine_filter as _combine
@@ -150,7 +151,8 @@ def sharded_logpdf(
         out_specs=P(),
         check_rep=False,
     )
-    return fn(jnp.asarray(y), tuple(arrs), tuple(fills), (x0.mean, x0.cov))
+    with precision_ctx(D):
+        return fn(jnp.asarray(y), tuple(arrs), tuple(fills), (x0.mean, x0.cov))
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +336,8 @@ def sharded_posterior_marginals(
         out_specs=out_spec,
         check_rep=False,
     )
-    out = fn(jnp.asarray(y), tuple(arrs), tuple(fills), (x0.mean, x0.cov))
+    with precision_ctx(D):
+        out = fn(jnp.asarray(y), tuple(arrs), tuple(fills), (x0.mean, x0.cov))
     return Gaussian(*out) if not observation_space else out
 
 
@@ -451,7 +454,8 @@ def sharded_posterior_rand(
         out_specs=P(time_axis),
         check_rep=False,
     )
-    return fn(
-        jnp.asarray(y), eps, eps_final, tuple(arrs), tuple(fills),
-        (x0.mean, x0.cov),
-    )
+    with precision_ctx(D):
+        return fn(
+            jnp.asarray(y), eps, eps_final, tuple(arrs), tuple(fills),
+            (x0.mean, x0.cov),
+        )
