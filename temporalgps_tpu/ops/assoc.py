@@ -55,12 +55,17 @@ def _minv(C, J):
     # 1e-10 is below f32 noise for big-D spatio-temporal covariances
     # (Kr (x) P_inf grams), whose symmetrized round-off is ~sqrt(D)*eps*|C|.
     Cs = psd.symmetrize(C)
-    scale = jnp.maximum(
-        jnp.max(jnp.abs(jnp.diagonal(Cs, axis1=-2, axis2=-1)), axis=-1),
-        jnp.asarray(1.0, C.dtype),
-    )
-    eps = psd.dtype_jitter(C.dtype, f64_eps=1e-10, f32_eps=3e-6) * scale
-    Lc = psd.cholesky(Cs + eps[..., None, None] * I)
+    eps = psd.dtype_jitter(C.dtype, f64_eps=1e-10, f32_eps=3e-6)
+    if jnp.finfo(Cs.dtype).bits <= 32:
+        # f32 only: scale to the covariance magnitude (round-off grows with
+        # |C|). f64 keeps the reference-exact absolute 1e-10 — scaling it
+        # measurably perturbs conditioning-sensitive consumers (the Fisher
+        # gradient identity) for no stability benefit.
+        eps = eps * jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(Cs, axis1=-2, axis2=-1)), axis=-1),
+            jnp.asarray(1.0, Cs.dtype),
+        )[..., None, None]
+    Lc = psd.cholesky(Cs + eps * I)
     S = psd.symmetrize(_mT(Lc) @ J @ Lc) + I
     Ls = psd.cholesky(S)
     Lc_inv = psd.tri_solve(Lc, jnp.broadcast_to(I, Lc.shape))
