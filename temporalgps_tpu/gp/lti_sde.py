@@ -286,7 +286,13 @@ def rand(key, fx: FiniteLTISDE, n: int = None, *, engine=None):
 
 def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):
     """Log marginal likelihood; NaNs in y are missing observations
-    (reference: src/gp/lti_sde.jl:60-68)."""
+    (reference: src/gp/lti_sde.jl:60-68). engine="kron" selects the
+    factored spatio-temporal filter (space_time/kron.py) for plain
+    Separable models on a RectilinearGrid."""
+    if engine == "kron":
+        from ..space_time import kron
+
+        return kron.logpdf(fx, y)
     y_tf = _to_time_form(fx.x, jnp.asarray(y))
     return missings_mod.logpdf_with_missings(
         build_lgssm(fx), y_tf, engine=engine, **engine_kwargs

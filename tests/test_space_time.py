@@ -302,3 +302,62 @@ def test_approx_posterior_marginals_at_single_time(rng):
     np.testing.assert_allclose(
         np.asarray(v_t), np.asarray(v_all).reshape(NT, 5)[t], rtol=1e-5, atol=1e-6
     )
+
+
+def test_kron_engine_matches_sequential(rng):
+    """Factored Kronecker filter (space_time/kron.py) == materialised
+    sequential engine, bit-tight in f64; covers missing data, irregular
+    times, ConstMean, heteroscedastic noise."""
+    from temporalgps_tpu.gp import to_sde as _to_sde
+    from temporalgps_tpu.gp.means import ConstMean
+
+    ns, nt = 8, 25
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, nt))
+    k = Separable(EQ(), Matern52())
+    fx = to_sde(GP(k))(x, 0.3)
+    y = rng.standard_normal(ns * nt)
+    np.testing.assert_allclose(
+        float(logpdf(fx, y, engine="kron")),
+        float(logpdf(fx, y, engine="sequential")),
+        rtol=1e-12,
+    )
+
+    y_miss = np.array(y)
+    y_miss[[2, 40, 111]] = np.nan
+    np.testing.assert_allclose(
+        float(logpdf(fx, jnp.asarray(y_miss), engine="kron")),
+        float(logpdf(fx, jnp.asarray(y_miss), engine="sequential")),
+        rtol=1e-12,
+    )
+
+    x_irr = RectilinearGrid(r, jnp.asarray(np.sort(rng.uniform(0, 3, nt))))
+    fx2 = to_sde(GP(k, mean=ConstMean(0.7)))(
+        x_irr, jnp.asarray(0.1 + rng.random(ns * nt) * 0.2)
+    )
+    y2 = rng.standard_normal(ns * nt)
+    np.testing.assert_allclose(
+        float(logpdf(fx2, y2, engine="kron")),
+        float(logpdf(fx2, y2, engine="sequential")),
+        rtol=1e-11,
+    )
+
+
+def test_kron_engine_grad(rng):
+    """Hyperparameter gradients agree between kron and sequential engines."""
+    import jax as _jax
+
+    ns, nt = 6, 20
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, nt))
+    y = rng.standard_normal(ns * nt)
+
+    def loss(p, engine):
+        s2, noise = jnp.exp(p)
+        fx = to_sde(GP(s2 * Separable(EQ(), Matern52())))(x, noise)
+        return logpdf(fx, y, engine=engine)
+
+    p0 = jnp.asarray([0.3, -1.0])
+    gk = _jax.grad(lambda p: loss(p, "kron"))(p0)
+    gs = _jax.grad(lambda p: loss(p, "sequential"))(p0)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gs), rtol=1e-9)
