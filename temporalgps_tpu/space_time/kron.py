@@ -107,21 +107,40 @@ def _factors(fx):
 
 
 def _step(carry, sl, Kr):
-    """One predict+update in factored form. carry = (m, P4, acc_lml)."""
-    m, P4, acc = carry
+    """One predict+update in component-major factored form.
+
+    carry = (m (Dt, Ns), P (Dt, Dt, Ns, Ns), acc_lml). The temporal
+    component axes lead and the (Ns, Ns) spatial tiles trail, so the tiny
+    Dt contractions unroll into scalar-weighted adds of vector-register-
+    friendly (Ns, Ns) tiles (cf. ops/lanes.py for the scalar-emission
+    analogue) and the covariance downdate becomes Dt(Dt+1)/2 plain
+    (Ns, Ns) matmuls on the MXU.
+    """
+    m, P, acc = carry
     (A, a, Q, h, hoff), (yt, sd) = sl
     Ns = Kr.shape[0]
+    Dt = m.shape[0]
 
-    # predict
-    m_p = m @ A.T + a
-    PA = jnp.einsum("satc,bc->satb", P4, A)
-    P_p = jnp.einsum("ab,sbtc->satc", A, PA) + Kr[:, None, :, None] * Q[None, :, None, :]
+    # predict: m'[a] = sum_c A[a,c] m[c] + a[a];
+    #          P'[a,b] = sum_{c,d} A[a,c] A[b,d] P[c,d] + Q[a,b] * Kr
+    m_p = [sum(A[i, c] * m[c] for c in range(Dt)) + a[i] for i in range(Dt)]
+    AP = [
+        [sum(A[i, c] * P[c, d] for c in range(Dt)) for d in range(Dt)]
+        for i in range(Dt)
+    ]
+    P_p = [
+        [
+            sum(AP[i][d] * A[j, d] for d in range(Dt)) + Q[i, j] * Kr
+            for j in range(Dt)
+        ]
+        for i in range(Dt)
+    ]
 
-    # update (emission row h per spatial site, offset hoff, noise diag sd)
-    mu = m_p @ h + hoff                       # (Ns,)
-    PHt = jnp.einsum("satb,b->sat", P_p, h)   # P' H^T as (Ns, Dt, Ns)
-    S = jnp.einsum("a,sat->st", h, PHt)
-    S = psd.symmetrize(S) + sd[None, :] * jnp.eye(Ns, dtype=S.dtype)
+    # update: innovation S = sum_{a,b} h[a] h[b] P'[a,b] + diag(sd)
+    mu = sum(h[i] * m_p[i] for i in range(Dt)) + hoff          # (Ns,)
+    PHt = [sum(h[j] * P_p[i][j] for j in range(Dt)) for i in range(Dt)]
+    S = sum(h[i] * PHt[i] for i in range(Dt))
+    S = psd.symmetrize(S) + sd[None, :] * jnp.eye(Ns, dtype=Kr.dtype)
     L = psd.cholesky(S)
     resid = yt - mu
     alpha = psd.chol_solve(L, resid[:, None])[:, 0]
@@ -130,12 +149,25 @@ def _step(carry, sl, Kr):
         + 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
         + resid @ alpha
     )
-    m_f = m_p + jnp.einsum("sat,t->sa", PHt, alpha)
-    Dt = m.shape[-1]
-    G = PHt.reshape(Ns * Dt, Ns)
-    P_f = P_p.reshape(Ns * Dt, Ns * Dt) - G @ psd.chol_solve(L, G.T)
-    P_f = psd.symmetrize(P_f).reshape(Ns, Dt, Ns, Dt)
+    m_f = jnp.stack([m_p[i] + PHt[i] @ alpha for i in range(Dt)])
+    # downdate via V[a] = L^{-1} PHt[a]^T: P'' = P' - V^T V (symmetric in a,b)
+    V = [psd.tri_solve(L, PHt[i].T) for i in range(Dt)]
+    rows = [[None] * Dt for _ in range(Dt)]
+    for i in range(Dt):
+        for j in range(i, Dt):
+            down = _mTm(V[i], V[j])
+            Pf_ij = P_p[i][j] - down
+            rows[i][j] = Pf_ij
+            if j > i:
+                rows[j][i] = P_p[j][i] - down.T
+    P_f = jnp.stack([jnp.stack(r) for r in rows])
+    # keep P[a,b]^T == P[b,a] exactly (the (s,t) symmetry of the full cov)
+    P_f = 0.5 * (P_f + jnp.transpose(P_f, (1, 0, 3, 2)))
     return None, (m_f, P_f, acc + lml)
+
+
+def _mTm(X, Y):
+    return X.T @ Y
 
 
 def logpdf(fx, y):
@@ -150,8 +182,8 @@ def logpdf(fx, y):
     sd, y_f, n_missing = fill_in_missings(noise_tf, y_tf)
     comp = _volume_compensation(n_missing, dtype)
 
-    m0 = jnp.broadcast_to(x0_t.mean, (Ns, Dt)).astype(dtype)
-    P0 = (Kr[:, None, :, None] * psd.symmetrize(x0_t.cov)[None, :, None, :]).astype(dtype)
+    m0 = jnp.broadcast_to(x0_t.mean[:, None], (Dt, Ns)).astype(dtype)
+    P0 = (psd.symmetrize(x0_t.cov)[:, :, None, None] * Kr[None, None, :, :]).astype(dtype)
 
     params = ((As_t, offs_t, Qs_t, Hs_t, hs_t), (y_f, sd))
     with precision_ctx(Ns * Dt):
