@@ -53,7 +53,7 @@ def main():
     model = api.build_lgssm(fx)
     y_tf = jnp.asarray(rng.standard_normal((Nt, Ns)), dtype)
 
-    for engine in ["parallel", "sequential"]:
+    for engine in ["parallel", "sequential", "block"]:
         lp = jax.jit(lambda y_, e=engine: lg.logpdf(model, y_, engine=e))
         dt, cs = timed(lp, y_tf)
         print(
@@ -61,6 +61,19 @@ def main():
             f"({Ns*Nt/dt/1e6:6.2f} Mobs/s) compile {cs:.0f}s val={float(lp(y_tf)):.1f}",
             flush=True,
         )
+
+    # factored Kronecker engine (space_time/kron.py), flat-form y
+    from temporalgps_tpu.gp.lti_sde import logpdf as gp_logpdf
+
+    y_flat = y_tf.reshape(-1)
+    lpk = jax.jit(lambda y_: gp_logpdf(fx, y_, engine="kron"))
+    dt, cs = timed(lpk, y_flat)
+    print(
+        f"exact 50x1000 (D=150) logpdf[kron]: {dt*1e3:8.2f} ms "
+        f"({Ns*Nt/dt/1e6:5.2f} Mobs/s) compile {cs:.0f}s val={float(lpk(y_flat)):.1f}",
+        flush=True,
+    )
+
 
     # --- config #5: DTC/ELBO, M=10 inducing, large Nt ---------------------
     for Nt5 in [10_000, 100_000]:
