@@ -79,31 +79,39 @@ def sharded_logpdf(
 ):
     """Distributed logpdf of a forward scalar-emission LGSSM.
 
-    y: (N,) for a single series, or (Bt, N) with `batch_axis` set for a
-    data-parallel batch of independent series sharing the model.
+    y: (N,) scalar-emission series or (N, Dout) vector-emission series
+    (e.g. a spatio-temporal grid model in time form); with `batch_axis`
+    set, a leading batch axis of independent series sharing the model.
     Returns the scalar total logpdf (summed over the batch if batched).
     """
-    if not model.trans.forward or not isinstance(model.emis, em.ScalarEmissions):
-        raise NotImplementedError(
-            "sharded_logpdf supports forward scalar-emission models"
-        )
-    _check_divisible(jnp.shape(y)[-1], mesh, time_axis)
+    if not model.trans.forward:
+        raise NotImplementedError("sharded_logpdf supports forward models")
+    scalar = isinstance(model.emis, em.ScalarEmissions)
+    y = jnp.asarray(y)
+    base_ndim = 1 if scalar else 2
+    batched = y.ndim == base_ndim + 1
+    time_dim = -1 if scalar else -2
+    _check_divisible(y.shape[time_dim], mesh, time_axis)
     D = model.latent_dim
     x0 = model.trans.x0
     dtype = x0.dtype
     treedef, fill_mask, arrs, fills = _flatten_params(model)
 
-    batched = y.ndim == 2
     if batched and batch_axis is None:
         raise ValueError("batched y requires batch_axis")
 
-    y_spec = P(batch_axis, time_axis) if batched else P(time_axis)
+    if scalar:
+        y_spec = P(batch_axis, time_axis) if batched else P(time_axis)
+    else:
+        y_spec = (
+            P(batch_axis, time_axis, None) if batched else P(time_axis, None)
+        )
     arr_specs = tuple(P(time_axis) for _ in arrs)
     fill_specs = tuple(P() for _ in fills)
     x0_spec = (P(), P())
 
     def local_fn(y_loc, arrs_loc, fills_loc, x0_loc):
-        n_local = y_loc.shape[-1]
+        n_local = y_loc.shape[-1] if scalar else y_loc.shape[-2]
         params = _rebuild(treedef, fill_mask, list(arrs_loc), list(fills_loc), n_local)
         x0_g = Gaussian(*x0_loc)
 

@@ -164,3 +164,26 @@ def test_sharded_posterior_rand_statistics(rng):
     np.testing.assert_array_less(
         np.abs(samps.var(0, ddof=1) - lat_var), 6 * se_var + 1e-12
     )
+
+
+def test_sharded_logpdf_spacetime_vector_emissions(rng):
+    """Distributed filter over a time-sharded spatio-temporal grid model
+    (DenseEmissions, D = Ns*Dt): vector emissions ride the same chunk
+    machinery as scalar series."""
+    from temporalgps_tpu.gp import EQ
+    from temporalgps_tpu.gp import lti_sde as api
+    from temporalgps_tpu.models import lgssm as lg
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+    ns, nt = 10, 64
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, nt))
+    from temporalgps_tpu.gp import to_sde as _to_sde
+
+    fx = _to_sde(GP(Separable(EQ(), Matern52())))(x, 0.25)
+    model = api.build_lgssm(fx)
+    y_tf = jnp.asarray(rng.standard_normal((nt, ns)))
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    lp_sh = float(sharded_logpdf(model, y_tf, mesh))
+    lp_1 = float(lg.logpdf(model, y_tf, engine="sequential"))
+    np.testing.assert_allclose(lp_sh, lp_1, rtol=1e-9)
