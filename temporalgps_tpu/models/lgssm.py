@@ -108,20 +108,27 @@ def _with_precision(model_arg=0):
 # ---------------------------------------------------------------------------
 
 @_with_precision()
-def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None):
+def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None,
+           phase2=None):
     """Log marginal likelihood via the Kalman filter
     (reference: src/models/lgssm.jl:147-165). `pallas=False` forces the
     pure-XLA block schedule (required under forward-mode jvp, which cannot
-    cross the Pallas custom_vjp)."""
+    cross the Pallas custom_vjp). `phase2="sqrt"` runs the block engine's
+    cross-block combine in square-root form (ops/sqrt.py)."""
     engine = _resolve_engine(engine, model)
     if engine == "parallel":
         from ..ops import assoc
 
         return assoc.logpdf(model, y)
+    if engine == "sqrt":
+        from ..ops import sqrt
+
+        return sqrt.logpdf(model, y)
     if engine == "block":
         from ..ops import block
 
-        return block.logpdf(model, y, pallas=pallas, n_blocks=n_blocks)
+        return block.logpdf(model, y, pallas=pallas, n_blocks=n_blocks,
+                            phase2=phase2)
 
     def step(x, params):
         ((A, a, Q), e), yt = params
@@ -149,6 +156,10 @@ def filter_(model: LGSSM, y, *, engine=None):
         from ..ops import assoc
 
         return assoc.filter_(model, y)
+    if engine == "sqrt":
+        from ..ops import sqrt
+
+        return sqrt.filter_(model, y)
     if engine == "block":
         from ..ops import block
 
@@ -337,6 +348,10 @@ def posterior(model: LGSSM, y, *, engine=None) -> LGSSM:
     an LGSSM with reversed ordering whose x0 is the final filtering
     distribution (reference: src/models/lgssm.jl:193-228)."""
     engine = _resolve_engine(engine, model)
+    if engine == "sqrt":
+        from ..ops import sqrt
+
+        return sqrt.posterior(model, y)
     if engine in ("parallel", "block"):
         from ..ops import assoc
 

@@ -352,6 +352,21 @@ def _phase1_aggregates(blocked, B, D, dtype):
     return agg
 
 
+def _phase2_prefix(elems, phase2):
+    """Prefix-combine the (B+1)-leading element tuple; phase2="sqrt" routes
+    the combine through the square-root algebra (ops/sqrt.py), which stays
+    finite past the f32 covariance-form conditioning cliff (B=128 at D=150
+    NaNs in covariance form on TPU). Returns the covariance-form prefix."""
+    if phase2 == "sqrt":
+        from . import sqrt as sq
+
+        pref = jax.lax.associative_scan(
+            sq._combine_sqrt, sq.to_sqrt_element(elems), axis=0
+        )
+        return sq.from_sqrt_element(pref)
+    return jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+
+
 def _prior_element(x0: Gaussian, D, dtype):
     return (
         jnp.zeros((1, D, D), dtype),
@@ -362,7 +377,7 @@ def _prior_element(x0: Gaussian, D, dtype):
     )
 
 
-def block_filter_states(model, y, *, n_blocks=None):
+def block_filter_states(model, y, *, n_blocks=None, phase2=None):
     """Exact filtering state at each block start (phase 1 + 2).
 
     Returns (B, L, blocked_params, tail_params, starts) where starts is a
@@ -379,7 +394,7 @@ def block_filter_states(model, y, *, n_blocks=None):
     # Phase 2: prefix over the B aggregates with the prior prepended.
     prior = _prior_element(x0, D, dtype)
     elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
-    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    pref = _phase2_prefix(elems, phase2)
     starts = Gaussian(pref[1], pref[2])  # (B+1, D) / (B+1, D, D)
     return B, L, blocked, tail, starts
 
@@ -425,7 +440,7 @@ def chunk_total_element(params_y, D, dtype, *, n_blocks=None):
     return total
 
 
-def chunk_logpdf_from_start(params_y, start: Gaussian, D, dtype, *, n_blocks=None):
+def chunk_logpdf_from_start(params_y, start: Gaussian, D, dtype, *, n_blocks=None, phase2=None):
     """Sum of per-step lmls over a chunk given the exact filtering
     distribution at the chunk start."""
     N = time_length(params_y)
@@ -437,7 +452,7 @@ def chunk_logpdf_from_start(params_y, start: Gaussian, D, dtype, *, n_blocks=Non
     agg = _phase1_aggregates(blocked, B, D, dtype)
     prior = _prior_element(start, D, dtype)
     elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
-    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    pref = _phase2_prefix(elems, phase2)
     starts = Gaussian(pref[1], pref[2])
 
     def phase3_step(carry, sl):
@@ -478,17 +493,28 @@ def _pallas_supported(model) -> bool:
     )
 
 
+# Max block count handled by the fused phase-2 kernel: the whole (K, B)
+# component array plus the Kogge-Stone level temporaries must fit scoped
+# VMEM (16MB/core). Measured: B=16384 allocates 59.2MB (Mosaic keeps ~27
+# (K, B) f32 buffers live across the unrolled levels) -> cap where that
+# scales to ~7.4MB. Total in-kernel work is B-independent (phases 1/3 do N
+# steps either way), so smaller B costs nothing.
+_PHASE2_FUSED_MAX_B = 2048
+
+
 def _pallas_blocks(N: int) -> int:
-    """Block count for the Pallas path: target within-block length ~32 (the
-    loop is unrolled inside the kernel), power of two, capped."""
+    """Block count for the Pallas path: target within-block length ~32 (short
+    blocks unroll inside the kernel; longer ones fori_loop), power of two,
+    capped at the fused-phase-2 VMEM bound (in-kernel loop steps are ~free
+    next to a wider cross-block prefix)."""
     target = max(N // 32, min(N, 256))
     b = 1
-    while b * 2 <= min(target, 65536):
+    while b * 2 <= min(target, _PHASE2_FUSED_MAX_B):
         b *= 2
     return max(b, 1)
 
 
-def _logpdf_pallas_impl(model, y, n_blocks):
+def _logpdf_pallas_impl(model, y, n_blocks, phase2=None):
     from . import pallas_kernels as pk
 
     D = model.latent_dim
@@ -510,23 +536,32 @@ def _logpdf_pallas_impl(model, y, n_blocks):
     )
 
     comps = pk.phase1_aggregate(y_main, s_main, packed, D)  # (K, B)
-    A_e = comps[:DD].T.reshape(B, D, D)
-    b_e = comps[DD : DD + D].T
-    C_e = comps[DD + D : 2 * DD + D].T.reshape(B, D, D)
-    eta_e = comps[2 * DD + D : 2 * DD + 2 * D].T
-    J_e = comps[2 * DD + 2 * D :].T.reshape(B, D, D)
 
-    prior = _prior_element(x0, D, dtype)
-    elems = tuple(
-        jnp.concatenate([p, a], axis=0)
-        for p, a in zip(prior, (A_e, b_e, C_e, eta_e, J_e))
-    )
-    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
-    starts = Gaussian(pref[1], pref[2])  # (B+1, ...)
+    if B <= _PHASE2_FUSED_MAX_B:
+        # Single-dispatch in-kernel Kogge-Stone prefix (pk.phase2_starts):
+        # the XLA associative_scan alternative costs ~log2(B) dispatch
+        # levels — measured 3-5 ms of the N=1M headline (phase_probe.py).
+        starts_comp = pk.phase2_starts(
+            comps, x0.mean, psd.symmetrize(x0.cov), D
+        )
+    else:
+        A_e = comps[:DD].T.reshape(B, D, D)
+        b_e = comps[DD : DD + D].T
+        C_e = comps[DD + D : 2 * DD + D].T.reshape(B, D, D)
+        eta_e = comps[2 * DD + D : 2 * DD + 2 * D].T
+        J_e = comps[2 * DD + 2 * D :].T.reshape(B, D, D)
 
-    starts_comp = jnp.concatenate(
-        [starts.mean[:-1].T, starts.cov[:-1].reshape(B, DD).T], axis=0
-    )  # (D + DD, B)
+        prior = _prior_element(x0, D, dtype)
+        elems = tuple(
+            jnp.concatenate([p, a], axis=0)
+            for p, a in zip(prior, (A_e, b_e, C_e, eta_e, J_e))
+        )
+        pref = _phase2_prefix(elems, phase2)
+        starts = Gaussian(pref[1], pref[2])  # (B+1, ...)
+
+        starts_comp = jnp.concatenate(
+            [starts.mean[:-1].T, starts.cov[:-1].reshape(B, DD).T], axis=0
+        )  # (D + DD, B)
     lml = jnp.sum(pk.phase3_lml(y_main, s_main, packed, starts_comp, D))
     return lml + comp
 
@@ -561,7 +596,7 @@ def _tail_lml(tail, x_tail):
     return jnp.sum(lmls)
 
 
-def logpdf(model, y, *, n_blocks=None, pallas=None):
+def logpdf(model, y, *, n_blocks=None, pallas=None, phase2=None):
     """Block-parallel logpdf. `pallas=None` auto-selects the fused Pallas
     kernels when the model qualifies (time-invariant params, scalar
     emissions, D<=3); `pallas=False` forces the pure-XLA schedule."""
@@ -573,10 +608,10 @@ def logpdf(model, y, *, n_blocks=None, pallas=None):
         pallas = jax.default_backend() == "tpu"
     if pallas and _pallas_supported(model):
         return _logpdf_pallas_cv(model, y, n_blocks)
-    return _logpdf_xla(model, y, n_blocks)
+    return _logpdf_xla(model, y, n_blocks, phase2)
 
 
-def _logpdf_xla(model, y, n_blocks=None):
+def _logpdf_xla(model, y, n_blocks=None, phase2=None):
     D = model.latent_dim
     x0 = model.trans.x0
     dtype = x0.dtype
@@ -593,7 +628,7 @@ def _logpdf_xla(model, y, n_blocks=None):
 
     prior = _prior_element(x0, D, dtype)
     elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
-    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    pref = _phase2_prefix(elems, phase2)
     starts = Gaussian(pref[1], pref[2])
     starts_head = Gaussian(starts.mean[:-1], starts.cov[:-1])
 
@@ -614,7 +649,7 @@ def _logpdf_xla(model, y, n_blocks=None):
     return total + comp
 
 
-def filter_(model, y, *, n_blocks=None):
+def filter_(model, y, *, n_blocks=None, phase2=None):
     if not _supports(model):
         return assoc.filter_(model, y)
     D = model.latent_dim
@@ -634,7 +669,7 @@ def filter_(model, y, *, n_blocks=None):
         agg = _phase1_aggregates(blocked, B, D, dtype)
     prior = _prior_element(x0, D, dtype)
     elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
-    pref = jax.lax.associative_scan(assoc._combine_filter, elems, axis=0)
+    pref = _phase2_prefix(elems, phase2)
     starts = Gaussian(pref[1], pref[2])
 
     def phase3_step(x, sl):

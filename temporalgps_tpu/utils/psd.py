@@ -182,6 +182,28 @@ def solve_via_inv(P, B):
     return small_inv(P) @ B
 
 
+def psd_root(P):
+    """A (not necessarily triangular) square root U with U U^T = P, for
+    symmetric PSD P that may be rank-deficient (e.g. the exact Q = 0 of
+    deterministic Cosine/Constant state blocks, reference:
+    src/gp/lti_sde.jl:239-250,311-320).
+
+    For D <= 4 the guarded unrolled Cholesky already handles semidefinite
+    inputs (max(s, 0) pivots, zeroed inverse columns). For larger D,
+    `jnp.linalg.cholesky` returns NaN on exactly-singular input, so we use a
+    symmetric eigendecomposition with clamped eigenvalues — typically called
+    once per model on Fill (time-invariant) parameters, so the eigh cost is
+    amortised across the whole series.
+    """
+    P = symmetrize(P)
+    D = P.shape[-1]
+    if D <= 4:
+        return _chol_unrolled(P, D)
+    w, V = jnp.linalg.eigh(P)
+    w = jnp.sqrt(jnp.maximum(w, 0.0))
+    return V * w[..., None, :]
+
+
 def logdet_from_chol(L):
     """log det(L L^T) = 2 sum log diag(L); batched."""
     diag = jnp.diagonal(L, axis1=-2, axis2=-1)
