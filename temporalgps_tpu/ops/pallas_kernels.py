@@ -173,6 +173,105 @@ def phase1_aggregate(y_blocked, s_blocked, packed_params, D, *, b_tile=4096):
 
 
 # ---------------------------------------------------------------------------
+# Phase 2: cross-block prefix combine, single kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA `associative_scan` over B block aggregates costs ~log2(B) dispatch
+# levels of tiny (B, 3, 3) ops — measured 3-5 ms of the N=1M headline
+# (examples/phase_probe.py), i.e. the dominant term. This kernel runs the
+# whole inclusive Kogge-Stone prefix in VMEM: components live as (1, B) lane
+# vectors, each level is a static-slice shift + one lane-major combine, and
+# the B-element scan costs one dispatch.
+
+
+def _read_elem(ref, D):
+    """Element tuple of (1, B) lane vectors from a (K, B) component ref."""
+    DD = D * D
+    row = lambda k: ref[k : k + 1, :]
+    A = tuple(tuple(row(r * D + c) for c in range(D)) for r in range(D))
+    b = tuple(row(DD + i) for i in range(D))
+    C = tuple(tuple(row(DD + D + r * D + c) for c in range(D)) for r in range(D))
+    eta = tuple(row(2 * DD + D + i) for i in range(D))
+    J = tuple(
+        tuple(row(2 * DD + 2 * D + r * D + c) for c in range(D)) for r in range(D)
+    )
+    return (A, b, C, eta, J)
+
+
+def _shift_elem(e, s, B, dtype):
+    """Shift every lane vector right by s, filling the first s lanes with the
+    identity element (A=I, rest 0)."""
+
+    def shift(comp, idv):
+        fill = jnp.full((1, s), idv, dtype)
+        return jnp.concatenate([fill, comp[:, : B - s]], axis=1)
+
+    A, b, C, eta, J = e
+    D = len(b)
+    A_s = tuple(
+        tuple(shift(A[r][c], 1.0 if r == c else 0.0) for c in range(D))
+        for r in range(D)
+    )
+    zs = lambda t: tuple(shift(x, 0.0) for x in t)
+    zm = lambda M: tuple(tuple(shift(M[r][c], 0.0) for c in range(D)) for r in range(D))
+    return (A_s, zs(b), zm(C), zs(eta), zm(J))
+
+
+def _phase2_kernel(prior_ref, comps_ref, out_ref, *, D, B):
+    dtype = comps_ref.dtype
+    DD = D * D
+    e = _read_elem(comps_ref, D)
+
+    # Inclusive Kogge-Stone prefix: e[b] := agg_0 ∘ ... ∘ agg_b.
+    s = 1
+    while s < B:
+        e = lanes.combine(_shift_elem(e, s, B, dtype), e)
+        s *= 2
+    # Exclusive prefix, then seed with the prior element (0, m0, P0, 0, 0):
+    # starts[b] = prior ∘ agg_0 ∘ ... ∘ agg_{b-1}.
+    e = _shift_elem(e, 1, B, dtype)
+    m0 = tuple(prior_ref[0, i] for i in range(D))
+    P0 = tuple(tuple(prior_ref[0, D + r * D + c] for c in range(D)) for r in range(D))
+    zero, one = jnp.zeros((), dtype), jnp.ones((), dtype)
+    prior = (
+        tuple(tuple(zero for _ in range(D)) for _ in range(D)),
+        m0,
+        P0,
+        tuple(zero for _ in range(D)),
+        tuple(tuple(zero for _ in range(D)) for _ in range(D)),
+    )
+    _, b, C, _, _ = lanes.combine(prior, e)
+    for i in range(D):
+        out_ref[i, :] = b[i][0, :]
+    for r in range(D):
+        for c in range(D):
+            out_ref[D + r * D + c, :] = C[r][c][0, :]
+
+
+def phase2_starts(comps, x0_mean, x0_cov, D):
+    """(K, B) phase-1 aggregates -> (D + D*D, B) block-start filtering states
+    (mean rows then row-major covariance rows), entirely in one kernel."""
+    K, B = comps.shape
+    SD = D + D * D
+    dtype = comps.dtype
+    prior = jnp.concatenate(
+        [jnp.ravel(x0_mean).astype(dtype), jnp.ravel(x0_cov).astype(dtype)]
+    ).reshape(1, SD)
+    kernel = functools.partial(_phase2_kernel, D=D, B=B)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((SD, B), dtype),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, SD), _im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, B), _im_const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SD, B), _im_const, memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(prior, comps)
+
+
+# ---------------------------------------------------------------------------
 # Phase 3: within-block Kalman recursion with lml accumulation
 # ---------------------------------------------------------------------------
 
