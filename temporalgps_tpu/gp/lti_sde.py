@@ -270,9 +270,45 @@ def _destructure(x, ys):
     return ys
 
 
+def _route_kron(fx, engine) -> bool:
+    """engine="kron" forces the factored spatio-temporal engine
+    (space_time/kron.py); engine=None auto-selects it on TPU for supported
+    grid models at Ns >= 80. Measured on v5e (f32, Separable(EQ, Matern52),
+    Nt=500-1000): the factored filter is overhead-flat in Ns while the
+    materialised D=Ns*Dt recursion grows as Ns^3 — crossover near Ns ~ 80
+    (Ns=100: 48 vs 60 ms; Ns=200: 50 vs 107 ms)."""
+    from ..space_time import kron
+
+    if engine == "kron":
+        if not kron.supports(fx):
+            raise TypeError(
+                "engine='kron' requires a (possibly Scaled) Separable model "
+                "on a RectilinearGrid"
+            )
+        return True
+    if engine is None and _is_grid(fx.x):
+        import jax
+
+        return (
+            jax.default_backend() == "tpu"
+            and kron.supports(fx)
+            and fx.x.xl.shape[0] >= 80
+        )
+    return False
+
+
 def rand(key, fx: FiniteLTISDE, n: int = None, *, engine=None):
     """Joint prior sample, flat-form; `n` draws i.i.d. samples stacked on a
     leading axis (reference: src/gp/lti_sde.jl:48-58)."""
+    if _route_kron(fx, engine):
+        from ..space_time import kron
+
+        if n is None:
+            return _destructure(fx.x, kron.rand(key, fx))
+        import jax
+
+        keys = jax.random.split(key, n)
+        return jax.vmap(lambda k: _destructure(fx.x, kron.rand(k, fx)))(keys)
     model = build_lgssm(fx)
     if n is None:
         return _destructure(fx.x, lgssm_mod.rand(key, model, engine=engine))
@@ -289,25 +325,10 @@ def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):
     (reference: src/gp/lti_sde.jl:60-68). engine="kron" selects the
     factored spatio-temporal filter (space_time/kron.py) for plain
     Separable models on a RectilinearGrid."""
-    if engine == "kron":
+    if _route_kron(fx, engine):
         from ..space_time import kron
 
         return kron.logpdf(fx, y)
-    if engine is None and _is_grid(fx.x):
-        import jax
-
-        from ..space_time import kron
-
-        # Measured on v5e (f32, Separable(EQ, Matern52), Nt=500-1000): the
-        # factored filter is overhead-flat in Ns while the materialised
-        # D=Ns*Dt recursion grows as Ns^3 — crossover near Ns ~ 80
-        # (Ns=100: 48 vs 60 ms; Ns=200: 50 vs 107 ms).
-        if (
-            jax.default_backend() == "tpu"
-            and kron.supports(fx)
-            and fx.x.xl.shape[0] >= 80
-        ):
-            return kron.logpdf(fx, y)
     y_tf = _to_time_form(fx.x, jnp.asarray(y))
     return missings_mod.logpdf_with_missings(
         build_lgssm(fx), y_tf, engine=engine, **engine_kwargs
@@ -317,6 +338,11 @@ def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):
 def marginals(fx: FiniteLTISDE, *, engine=None):
     """Per-observation marginal (means, vars) including observation noise,
     flat-form (reference: src/gp/lti_sde.jl:33-35)."""
+    if _route_kron(fx, engine):
+        from ..space_time import kron
+
+        m, v = kron.marginals(fx)
+        return _destructure(fx.x, m), _destructure(fx.x, v)
     m, v = lgssm_mod.marginals_diag(build_lgssm(fx), engine=engine)
     return _destructure(fx.x, m), _destructure(fx.x, v)
 

@@ -170,6 +170,104 @@ def _mTm(X, Y):
     return X.T @ Y
 
 
+def marginals(fx):
+    """Per-observation prior marginal (means, vars) incl. observation noise,
+    in time form (Nt, Ns) — factored counterpart of
+    lgssm.marginals_diag on the materialised grid model (the API layer
+    flattens to the reference's space-fastest flat form). The covariance
+    recursion is pure predict (no update): O(Dt^4 Ns^2) per step vs the
+    materialised O(Ns^3 Dt^3)."""
+    (As_t, offs_t, Qs_t, Hs_t, hs_t), Kr, x0_t, noise_tf, dtype = _factors(fx)
+    x = fx.x
+    Ns = Kr.shape[0]
+    Dt = x0_t.mean.shape[-1]
+
+    m0 = jnp.broadcast_to(x0_t.mean[:, None], (Dt, Ns)).astype(dtype)
+    P0 = (
+        psd.symmetrize(x0_t.cov)[:, :, None, None] * Kr[None, None, :, :]
+    ).astype(dtype)
+
+    def step(carry, sl):
+        m, P = carry
+        (A, a, Q, h, hoff), sd = sl
+        m_p = [
+            sum(A[i, c] * m[c] for c in range(Dt)) + a[i] for i in range(Dt)
+        ]
+        AP = [
+            [sum(A[i, c] * P[c, d] for c in range(Dt)) for d in range(Dt)]
+            for i in range(Dt)
+        ]
+        P_p = [
+            [
+                sum(AP[i][d] * A[j, d] for d in range(Dt)) + Q[i, j] * Kr
+                for j in range(Dt)
+            ]
+            for i in range(Dt)
+        ]
+        mu = sum(h[i] * m_p[i] for i in range(Dt)) + hoff          # (Ns,)
+        var = (
+            sum(
+                h[i] * h[j] * jnp.diagonal(P_p[i][j])
+                for i in range(Dt)
+                for j in range(Dt)
+            )
+            + sd
+        )
+        P_new = jnp.stack([jnp.stack(r) for r in P_p])
+        P_new = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 3, 2)))
+        return (mu, var), (jnp.stack(m_p), P_new)
+
+    params = ((As_t, offs_t, Qs_t, Hs_t, hs_t), noise_tf)
+    with precision_ctx(Ns * Dt):
+        (mus, vars_), _ = scan_emit(step, params, (m0, P0))
+    return mus, vars_
+
+
+def rand(key, fx):
+    """Joint prior sample on the grid in time form (Nt, Ns), keeping the
+    transition/initial covariances factored: chol(Q_t (x) Kr) =
+    root(Q_t) (x) chol(Kr), so a sample step is two thin matmuls
+    (O(Ns^2 Dt + Ns Dt^2)) instead of a materialised (Ns Dt)^2 matvec.
+    Randomness is pre-drawn outside the scan (reference design:
+    src/models/lgssm.jl:71-77)."""
+    from ..utils.fill import Fill, is_fill
+
+    (As_t, offs_t, Qs_t, Hs_t, hs_t), Kr, x0_t, noise_tf, dtype = _factors(fx)
+    x = fx.x
+    Ns = Kr.shape[0]
+    Dt = x0_t.mean.shape[-1]
+    Nt = grids.n_time(x)
+    L_Kr = psd.cholesky(Kr)
+
+    # Fill-aware root of the temporal process noise (once for regular data).
+    if is_fill(Qs_t):
+        Lq_t = Fill(psd.psd_root(Qs_t.value), Qs_t.N)
+    else:
+        Lq_t = psd.psd_root(Qs_t)
+
+    k0, kt, ke = jax.random.split(key, 3)
+    z0 = jax.random.normal(k0, (Dt, Ns), dtype)
+    eps_t = jax.random.normal(kt, (Nt, Dt, Ns), dtype)
+    eps_e = jax.random.normal(ke, (Nt, Ns), dtype)
+
+    x_init = (
+        jnp.broadcast_to(x0_t.mean[:, None], (Dt, Ns))
+        + psd.psd_root(x0_t.cov) @ z0 @ L_Kr.T
+    ).astype(dtype)
+
+    def step(m, sl):
+        (A, a, Lq, h, hoff), (et, ee, sd) = sl
+        noise = (Lq @ et) @ L_Kr.T                              # (Dt, Ns)
+        m_new = A @ m + a[:, None] + noise
+        yt = jnp.einsum("i,is->s", h, m_new) + hoff + jnp.sqrt(sd) * ee
+        return yt, m_new
+
+    params = ((As_t, offs_t, Lq_t, Hs_t, hs_t), (eps_t, eps_e, noise_tf))
+    with precision_ctx(Ns * Dt):
+        ys, _ = scan_emit(step, params, x_init)
+    return ys
+
+
 def logpdf(fx, y):
     """Log marginal likelihood of a flat-form y on the grid; NaN = missing
     (same semantics as the generic path, gp/lti_sde.logpdf)."""

@@ -361,3 +361,36 @@ def test_kron_engine_grad(rng):
     gk = _jax.grad(lambda p: loss(p, "kron"))(p0)
     gs = _jax.grad(lambda p: loss(p, "sequential"))(p0)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gs), rtol=1e-9)
+
+
+def test_kron_marginals_match_sequential(rng):
+    """Factored prior marginals == materialised marginals_diag (f64)."""
+    ns, nt = 7, 18
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, nt))
+    fx = to_sde(GP(1.4 * Separable(EQ(), Matern52())))(
+        x, jnp.asarray(0.1 + rng.random(ns * nt) * 0.2)
+    )
+    m_seq, v_seq = marginals(fx, engine="sequential")
+    m_k, v_k = marginals(fx, engine="kron")
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_seq), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_seq), rtol=1e-11)
+
+
+def test_kron_rand_moments(rng):
+    """Factored grid sampling reproduces the prior marginals (moment check,
+    many i.i.d. draws) and is deterministic in the key."""
+    import jax as _jax
+
+    ns, nt = 5, 12
+    r = jnp.asarray(np.linspace(-1.5, 1.5, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.1, nt))
+    fx = to_sde(GP(Separable(EQ(), Matern32())))(x, 0.05)
+    key = _jax.random.PRNGKey(3)
+    ys = rand(key, fx, n=4000, engine="kron")
+    assert ys.shape == (4000, ns * nt)
+    m_th, v_th = marginals(fx, engine="sequential")
+    m_emp = np.mean(np.asarray(ys), axis=0)
+    v_emp = np.var(np.asarray(ys), axis=0)
+    np.testing.assert_allclose(m_emp, np.asarray(m_th), atol=5 * np.sqrt(np.max(v_th) / 4000) + 1e-3)
+    np.testing.assert_allclose(v_emp, np.asarray(v_th), rtol=0.15)
