@@ -71,20 +71,19 @@ def main():
 
     p0 = jnp.zeros(3, dtype)
 
-    # Headline: logpdf + full hyperparameter gradient, block engine with
-    # forward-mode (vmapped JVP) differentiation — no reverse-scan residuals.
-    from temporalgps_tpu.learning import value_and_grad_fwd
+    # Headline: logpdf + full hyperparameter gradient — fused forward-mode
+    # Pallas pipeline (primal + 3 tangent recursions in one pass through the
+    # phase kernels, ops/block.logpdf_fwd_grad).
+    from temporalgps_tpu.learning import value_and_grad_fwd_lgssm
 
-    def loss_fwd(p, y_):
+    def model_fn(p):
         s2, sc, noise = jnp.exp(p)
         kern = (s2 * Matern52()).stretch(sc)
         fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
-        return lg.logpdf(
-            build_lgssm(fx), y_, engine="block", pallas=False, n_blocks=8192
-        )
+        return build_lgssm(fx)
 
     grad_block = jax.jit(
-        lambda p, y_: value_and_grad_fwd(lambda q: loss_fwd(q, y_))(p)[1][0]
+        lambda p, y_: value_and_grad_fwd_lgssm(model_fn, y_)(p)[1][0]
     )
     dt_block, cs, _ = timed(grad_block, p0, y, iters=10)
     steps_per_sec = N / dt_block
@@ -93,7 +92,7 @@ def main():
     # Forward-only throughput (Pallas fused kernels).
     lp_fast = jax.jit(lambda y_: lg.logpdf(
         build_lgssm(to_sde(GP(Matern52()), ArrayStorage(dtype))(x, jnp.asarray(0.1, dtype))),
-        y_, engine="block", n_blocks=8192,
+        y_, engine="block",
     ))
     dt_f, cs_f, _ = timed(lp_fast, y, iters=10)
     log(f"block logpdf N={N}: {dt_f*1e3:.2f} ms ({N/dt_f/1e6:.1f} Msteps/s), compile {cs_f:.0f}s")
@@ -117,6 +116,18 @@ def main():
     # f32 accumulation order differs between engines; f64 equivalence is
     # tested to 1e-9 in tests/. 1e-3 relative on a 20k-step f32 lml sum.
     assert rel < 1e-3, "engine mismatch"
+
+    # Gradient cross-check: fused fwd-mode Pallas vs reverse-mode sequential.
+    def model_fn_s(p):
+        s2, sc, noise = jnp.exp(p)
+        kern = (s2 * Matern52()).stretch(sc)
+        return build_lgssm(to_sde(GP(kern), ArrayStorage(dtype))(x_s, noise))
+
+    g_f = float(jax.jit(lambda p: value_and_grad_fwd_lgssm(model_fn_s, y_s)(p)[1][0])(p0))
+    g_s = float(grad_seq(p0, y_s))
+    grel = abs(g_f - g_s) / max(abs(g_s), 1e-12)
+    log(f"grad cross-check: fused={g_f:.4f} seq={g_s:.4f} rel={grel:.2e}")
+    assert grel < 1e-2, "gradient mismatch"
 
     print(
         json.dumps(

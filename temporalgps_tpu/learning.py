@@ -86,6 +86,45 @@ def value_and_grad_fwd(f):
     return vg
 
 
+def value_and_grad_fwd_lgssm(model_fn, y, *, n_blocks=None, fallback=None):
+    """Forward-mode value_and_grad of `p -> logpdf(model_fn(p), y)` fused
+    into one Pallas pass (ops/block.logpdf_fwd_grad): the primal filter and
+    all k tangent recursions share the three phase kernels, so the cost is
+    ~(1+k) primal-filter FLOPs with zero scan residuals and ONE kernel
+    pipeline dispatch — vs the vmapped-JVP path (`value_and_grad_fwd`),
+    which re-pays the XLA block schedule's dispatch overhead per tangent.
+
+    model_fn: flat params array -> LGSSM (Fill-parameter, scalar emissions,
+    D <= 3 — the Matern learning configuration). Falls back to
+    `value_and_grad_fwd` semantics when the model doesn't qualify.
+    Returns fn: params -> (value, grad_array).
+    """
+    from .ops import block
+
+    def vg(params):
+        flat = jnp.asarray(params)
+        n = flat.shape[0]
+        model = model_fn(flat)
+        basis = jnp.eye(n, dtype=flat.dtype)
+        tangents = [
+            jax.jvp(model_fn, (flat,), (basis[i],))[1] for i in range(n)
+        ]
+        if block._fwd_grad_supported(model, tangents):
+            lp, gs = block.logpdf_fwd_grad(model, y, tangents, n_blocks=n_blocks)
+            return lp, jnp.stack(gs)
+        from .models.missings import logpdf_with_missings
+
+        fb = fallback or (
+            lambda p: logpdf_with_missings(
+                model_fn(p), y, engine="block", pallas=False, n_blocks=n_blocks
+            )
+        )
+        val, grad = value_and_grad_fwd(fb)(flat)
+        return val, grad
+
+    return vg
+
+
 def fit_lbfgs(objective, params, *, steps: int = 50):
     """L-BFGS with linesearch — the optax analogue of the reference's Optim
     BFGS + backtracking (exact_time_learning.jl:53-63)."""

@@ -226,12 +226,17 @@ def combine(e_i, e_j):
 def kalman_step(m: Vec, P: Mat, A: Mat, a: Vec, Q: Mat, H: Vec, h, s, y):
     """Predict + scalar update + lml (lane-major),
     cf. ops/lgc.posterior_and_lml_scalar."""
+    import math
+
     mp = vadd(mv(A, m), a)
     Pp = madd(sym(mmT(mm(A, P), A)), Q)
     V = mv(Pp, H)  # Pp symmetric: Pp H
     S = vdot(H, V) + s
     resid = y - (vdot(H, mp) + h)
-    lml = -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(S) + resid * resid / S)
+    # math.log (a weak Python float) rather than jnp.log: under x64 the
+    # latter materialises an f64 constant whose f64->f32 convert Mosaic
+    # cannot legalize inside jvp-linearised kernels.
+    lml = -0.5 * (math.log(2 * math.pi) + jnp.log(S) + resid * resid / S)
     K = vscale(1.0 / S, V)
     m_f = vadd(mp, vscale(resid, K))
     P_f = sym(msub(Pp, outer(K, V)))

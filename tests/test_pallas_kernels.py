@@ -45,3 +45,34 @@ def test_pallas_grad_routes_through_xla(rng):
     v_x, g_x = jax.value_and_grad(lambda p: loss(p, False))(jnp.asarray(0.1))
     np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-10)
     np.testing.assert_allclose(float(g_p), float(g_x), rtol=1e-8)
+
+
+def test_pallas_fwd_grad_matches_autodiff(rng):
+    """Fused forward-mode phases (logpdf_fwd_grad / value_and_grad_fwd_lgssm)
+    == vmapped jax.jvp through the sequential engine, with every
+    hyperparameter sensitivity live (kernel scale, stretch, noise -> A, Q,
+    H, s, x0 tangents) and a missing observation (noise tangent masking)."""
+    import jax.numpy as jnp
+
+    from temporalgps_tpu.gp.lti_sde import logpdf as gp_logpdf
+    from temporalgps_tpu.learning import value_and_grad_fwd, value_and_grad_fwd_lgssm
+
+    N = 18
+    x = RegularSpacing(0.0, 0.15, N)
+    y = jnp.asarray(rng.standard_normal(N)).at[5].set(jnp.nan)
+
+    def model_fn(p):
+        s2, sc, noise = jnp.exp(p)
+        fx = to_sde(GP((s2 * Matern32()).stretch(sc)))(x, noise)
+        return api.build_lgssm(fx)
+
+    def loss_ref(p):
+        s2, sc, noise = jnp.exp(p)
+        fx = to_sde(GP((s2 * Matern32()).stretch(sc)))(x, noise)
+        return gp_logpdf(fx, y, engine="sequential")
+
+    p0 = jnp.asarray([0.2, -0.4, 0.3])
+    v_ref, g_ref = value_and_grad_fwd(loss_ref)(p0)
+    v_f, g_f = value_and_grad_fwd_lgssm(model_fn, y, n_blocks=4)(p0)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref), rtol=1e-7, atol=1e-10)
