@@ -90,12 +90,26 @@ def _resolve_engine(engine, model=None):
 def _with_precision(model_arg=0):
     """Trace the wrapped driver under the state-dim-appropriate matmul
     precision (config.precision_ctx): big-state f32 covariance recursions
-    need true-f32 matmuls on TPU; small states keep the faster default."""
+    need true-f32 matmuls on TPU; small states keep the faster default.
+
+    Exception: the *sequential* engine on TPU always traces under 'highest'
+    regardless of D. Its per-step (D, D) dot_generals run as single-pass
+    bf16 by default, which passes values (~1e-4 rel at N=20k, D=3) but
+    corrupts reverse-mode gradients (measured: d logpdf/d log sigma2 off by
+    7.6% vs the f64 ground truth). The sequential scan is dispatch-bound on
+    TPU, so true-f32 matmuls cost nothing there. The lane-major block/Pallas
+    paths are immune (pure element-wise VPU code, no dot_generals)."""
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
-            with precision_ctx(args[model_arg].latent_dim):
+            model = args[model_arg]
+            resolved = _resolve_engine(kwargs.get("engine"), model)
+            if resolved == "sequential" and jax.default_backend() == "tpu":
+                ctx = jax.default_matmul_precision("highest")
+            else:
+                ctx = precision_ctx(model.latent_dim)
+            with ctx:
                 return fn(*args, **kwargs)
 
         return wrapper
@@ -192,9 +206,7 @@ def marginals(model: LGSSM, *, engine=None) -> Gaussian:
     (reference: src/models/lgssm.jl:99-115)."""
     engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
-        from ..ops import assoc
-
-        xs = assoc.latent_marginals(model, engine=engine)
+        xs = _latent_marginals_engine(model, engine)
         return em.step_predict(xs, _emis_batched(model))
 
     def step(x, params):
@@ -218,9 +230,7 @@ def marginals_diag(model: LGSSM, *, engine=None):
     (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
     engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
-        from ..ops import assoc
-
-        xs = assoc.latent_marginals(model, engine=engine)
+        xs = _latent_marginals_engine(model, engine)
         return em.step_predict_marginals(xs, _emis_batched(model))
 
     def step(x, params):
@@ -243,9 +253,7 @@ def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Marginals of the latent chain itself (stacked Gaussian)."""
     engine = _resolve_engine(engine, model)
     if engine in ("parallel", "block"):
-        from ..ops import assoc
-
-        return assoc.latent_marginals(model, engine=engine)
+        return _latent_marginals_engine(model, engine)
 
     def step(x, params):
         (A, a, Q), _e = params
@@ -259,6 +267,19 @@ def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
         step, _step_params(model), model.trans.x0, reverse=not model.trans.forward
     )
     return xs
+
+
+def _latent_marginals_engine(model, engine):
+    """Latent marginals on the requested parallel schedule: the blocked
+    affine engine (ops/block.affine_prefix_states) for engine="block", the
+    N-element associative scan for engine="parallel"."""
+    if engine == "block":
+        from ..ops import block
+
+        return block.latent_marginals(model)
+    from ..ops import assoc
+
+    return assoc.latent_marginals(model)
 
 
 def _emis_batched(model: LGSSM):
@@ -295,10 +316,14 @@ def rand(key, model: LGSSM, *, engine=None):
         eps_e = jax.random.normal(ke, (N, Dout), x_init.dtype)
 
     engine = _resolve_engine(engine, model)
-    if engine in ("parallel", "block"):
+    if engine == "block":
+        from ..ops import block
+
+        return block.rand_with_eps(model, eps_t, eps_e, x_init)
+    if engine == "parallel":
         from ..ops import assoc
 
-        return assoc.rand_with_eps(model, eps_t, eps_e, x_init, engine=engine)
+        return assoc.rand_with_eps(model, eps_t, eps_e, x_init)
 
     def step(x, params):
         ((A, a, Q), e), (et, ee) = params
@@ -352,10 +377,14 @@ def posterior(model: LGSSM, y, *, engine=None) -> LGSSM:
         from ..ops import sqrt
 
         return sqrt.posterior(model, y)
-    if engine in ("parallel", "block"):
+    if engine == "block":
+        from ..ops import block
+
+        return block.posterior(model, y)
+    if engine == "parallel":
         from ..ops import assoc
 
-        return assoc.posterior(model, y, engine=engine)
+        return assoc.posterior(model, y)
 
     def step(x, params):
         ((A, a, Q), e), yt = params

@@ -585,6 +585,104 @@ def _logpdf_pallas_bwd(n_blocks, res, g):
 _logpdf_pallas_cv.defvjp(_logpdf_pallas_fwd, _logpdf_pallas_bwd)
 
 
+def _fwd_grad_supported(model, model_tangents) -> bool:
+    if not _pallas_supported(model):
+        return False
+    for t in model_tangents:
+        tr, e = t.trans, t.emis
+        if not (
+            isinstance(e, em.ScalarEmissions)
+            and is_fill(tr.As) and is_fill(tr.offs) and is_fill(tr.Qs)
+            and is_fill(e.H) and is_fill(e.h) and is_fill(e.s)
+        ):
+            return False
+    return True
+
+
+def logpdf_fwd_grad(model, y, model_tangents, *, n_blocks=None):
+    """(logpdf, [d logpdf . tangent_j]) in ONE fused forward-mode pass.
+
+    model_tangents: list of k tangent LGSSMs (same pytree structure, Fill
+    time-invariant leaves) — e.g. jax.jvp of the model builder along each
+    hyperparameter basis direction. The primal and all k tangent recursions
+    run together through the three Pallas phases (pallas_kernels phase*_jvp):
+    the primal is computed once, each tangent replays only the in-kernel
+    linearisation. Observations carry no tangent; the time-invariant noise
+    tangent enters masked so missing-data / alignment-padding steps (whose
+    lml term is constant) contribute zero derivative.
+
+    Requires a forward-ordered, Fill-parameter, scalar-emission model with
+    D <= 3 (the flagship Matern learning configuration,
+    reference: examples/exact_time_learning.jl); raises TypeError otherwise.
+    """
+    from . import pallas_kernels as pk
+
+    if not _fwd_grad_supported(model, model_tangents):
+        raise TypeError(
+            "logpdf_fwd_grad requires Fill-parameter scalar-emission models "
+            "(primal and tangents) with D <= 3"
+        )
+    D = model.latent_dim
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    N = len(model)
+    k = len(model_tangents)
+    # The fused phase-2 carries (1+k) element sets, so its VMEM-bound block
+    # count shrinks by the same factor (measured: k=3 at B=2048 allocates
+    # 31.9MB scoped vs the 16MB cap).
+    max_b = max(256, _PHASE2_FUSED_MAX_B // (1 + k))
+    b_pow = 1
+    while b_pow * 2 <= max_b:
+        b_pow *= 2
+    B = min(n_blocks or _pallas_blocks(N), b_pow, N)
+    SD = D + D * D
+
+    _params_p, y_p, s_p, n_pad, comp = _pad_tail(model, y, B)
+    # NaN observations are handled natively: large-variance fill + volume
+    # compensation (reference: src/models/missings.jl:43-53); the same
+    # in-kernel mask that zeroes the noise tangent at padding steps covers
+    # them (their streamed s is the LARGE_VAR fill).
+    from ..models.missings import _volume_compensation, fill_in_missings
+
+    s_p, y_p, n_missing = fill_in_missings(s_p, y_p)
+    comp = comp + _volume_compensation(n_missing, dtype)
+    L = (N + n_pad) // B
+    y_main = y_p.reshape(B, L).T
+    s_main = s_p.reshape(B, L).T
+
+    def pack(m_, s_slot):
+        t = m_.trans
+        return pk.pack_params_s(
+            t.As.value, t.offs.value, t.Qs.value, m_.emis.H.value,
+            m_.emis.h.value, s_slot, dtype,
+        )
+
+    # The primal s slot is unused (noise is streamed, with fills); tangent
+    # slots carry the time-invariant noise tangent.
+    packed = jnp.stack(
+        [pack(model, jnp.zeros((), dtype))]
+        + [pack(t, t.emis.s.value) for t in model_tangents]
+    )
+
+    def prior_row(g: Gaussian):
+        return jnp.concatenate(
+            [
+                jnp.ravel(g.mean).astype(dtype),
+                jnp.ravel(psd.symmetrize(g.cov)).astype(dtype),
+            ]
+        )
+
+    priors = jnp.stack(
+        [prior_row(x0)] + [prior_row(t.trans.x0) for t in model_tangents]
+    )  # (1+k, SD)
+
+    comps = pk.phase1_jvp(y_main, s_main, packed, D, k)
+    starts = pk.phase2_jvp_starts(comps, priors, D, k)
+    lml_rows = pk.phase3_jvp_lml(y_main, s_main, packed, starts, D, k)
+    totals = jnp.sum(lml_rows, axis=1)  # (1+k,)
+    return totals[0] + comp, [totals[1 + j] for j in range(k)]
+
+
 def _tail_lml(tail, x_tail):
     def tail_step(x, sl):
         ((A, a, Q), e), yt = sl
@@ -647,6 +745,231 @@ def _logpdf_xla(model, y, n_blocks=None, phase2=None):
         total = jnp.sum(lml_blocks)
 
     return total + comp
+
+
+# ---------------------------------------------------------------------------
+# Blocked affine-composition engine: latent marginals / sampling / smoothing
+# ---------------------------------------------------------------------------
+#
+# The drivers that don't condition on data (prior marginals, sampling, and
+# the smoothing pass of a constructed posterior) are prefix compositions of
+# affine-Gaussian maps. The assoc engine materialises N elements and
+# prefix-scans them (O(log N) HBM passes + dispatch depth); this blocked
+# schedule mirrors the filtering engine: within-block composition (phase 1),
+# cross-block prefix over B aggregates (phase 2), within-block replay
+# emitting states (phase 3). Lane-major components for D <= 3.
+
+
+def _affine_pad(F, c, Q, N, B):
+    """Pad iteration-order transitions to B*L with identity steps."""
+    L = -(-N // B)
+    n_pad = B * L - N
+    if n_pad == 0:
+        return F, c, Q, L
+    D = F.shape[-1]
+    I = jnp.broadcast_to(jnp.eye(D, dtype=F.dtype), (n_pad, D, D))
+    F = jnp.concatenate([F, I], axis=0)
+    c = jnp.concatenate([c, jnp.zeros((n_pad, D), c.dtype)], axis=0)
+    if Q is not None:
+        Q = jnp.concatenate([Q, jnp.zeros((n_pad, D, D), Q.dtype)], axis=0)
+    return F, c, Q, L
+
+
+def _blocked(arr, B, L):
+    return jnp.swapaxes(arr.reshape((B, L) + arr.shape[1:]), 0, 1)
+
+
+def _affine_identity(B, D, dtype, with_cov):
+    I = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (B, D, D))
+    b = jnp.zeros((B, D), dtype)
+    if with_cov:
+        return (I, b, jnp.zeros((B, D, D), dtype))
+    return (I, b)
+
+
+def affine_prefix_states(F, c, Q, x0_mean, x0_cov, *, n_blocks=None):
+    """States x_t of the affine recursion x_t = F_t x_{t-1} + c_t (+ noise
+    cov Q_t), t = 1..N, from x_0 ~ (x0_mean, x0_cov); returns a stacked
+    Gaussian (cov None when Q is None — pure mean composition for
+    sampling). Inputs in iteration order, (N, ...) arrays."""
+    N = F.shape[0]
+    D = F.shape[-1]
+    dtype = F.dtype
+    with_cov = Q is not None
+    B = min(n_blocks or _default_blocks(N, D), N)
+    F_p, c_p, Q_p, L = _affine_pad(F, c, Q, N, B)
+    Fb, cb = _blocked(F_p, B, L), _blocked(c_p, B, L)
+    Qb = _blocked(Q_p, B, L) if with_cov else None
+
+    use_lanes = D <= 3
+    if use_lanes:
+        from . import lanes
+
+        def to_c(sl_F, sl_c, sl_Q):
+            out = (
+                lanes.decompose_mat(sl_F, D),
+                lanes.decompose_vec(sl_c, D),
+            )
+            if with_cov:
+                out = out + (lanes.decompose_mat(sl_Q, D),)
+            return out
+
+        ones = jnp.ones((B,), dtype)
+        zeros = jnp.zeros((B,), dtype)
+        ident = (lanes.eye(D, ones, zeros), (zeros,) * D) + (
+            (tuple(tuple(zeros for _ in range(D)) for _ in range(D)),)
+            if with_cov
+            else ()
+        )
+
+        def combine_lanes(e_i, e_j):
+            A = lanes.mm(e_j[0], e_i[0])
+            b = lanes.vadd(lanes.mv(e_j[0], e_i[1]), e_j[1])
+            if not with_cov:
+                return (A, b)
+            C = lanes.madd(
+                lanes.sym(lanes.mmT(lanes.mm(e_j[0], e_i[2]), e_j[0])), e_j[2]
+            )
+            return (A, b, C)
+
+        params_c = to_c(Fb, cb, Qb)
+
+        def p1_step(carry, sl):
+            e = (sl[0], sl[1]) + ((sl[2],) if with_cov else ())
+            return None, combine_lanes(carry, e)
+
+        _, agg_c = scan_emit(p1_step, params_c, ident)
+        agg = (
+            lanes.mat_to_array(agg_c[0]),
+            lanes.vec_to_array(agg_c[1]),
+        ) + ((lanes.mat_to_array(agg_c[2]),) if with_cov else ())
+    else:
+        def p1_step(carry, sl):
+            e = (sl[0], sl[1]) + ((sl[2],) if with_cov else ())
+            comb = assoc._combine_affine if with_cov else assoc._combine_affine_mean
+            return None, comb(carry, e)
+
+        params = (Fb, cb) + ((Qb,) if with_cov else ())
+        _, agg = scan_emit(p1_step, params, _affine_identity(B, D, dtype, with_cov))
+
+    # Phase 2: prefix over aggregates with the initial state prepended.
+    prior = (jnp.zeros((1, D, D), dtype), x0_mean[None].astype(dtype)) + (
+        (psd.symmetrize(x0_cov)[None].astype(dtype),) if with_cov else ()
+    )
+    elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
+    comb = assoc._combine_affine if with_cov else assoc._combine_affine_mean
+    pref = jax.lax.associative_scan(comb, elems, axis=0)
+    starts_mean = pref[1][:-1]
+    starts_cov = pref[2][:-1] if with_cov else None
+
+    # Phase 3: replay within blocks from the exact starts, emitting states.
+    if use_lanes:
+        from . import lanes
+
+        m0c = tuple(starts_mean[:, i] for i in range(D))
+        init = (m0c,) + (
+            (
+                tuple(
+                    tuple(starts_cov[:, i, j] for j in range(D))
+                    for i in range(D)
+                ),
+            )
+            if with_cov
+            else ()
+        )
+
+        def p3_step(carry, sl):
+            A, b = sl[0], sl[1]
+            m = lanes.vadd(lanes.mv(A, carry[0]), b)
+            if with_cov:
+                P = lanes.madd(
+                    lanes.sym(lanes.mmT(lanes.mm(A, carry[1]), A)), sl[2]
+                )
+                return (m, P), (m, P)
+            return (m,), (m,)
+
+        outs, _ = scan_emit(p3_step, params_c, init)
+        mean_b = lanes.vec_to_array(outs[0])  # (L, B, D)
+        cov_b = lanes.mat_to_array(outs[1]) if with_cov else None
+    else:
+        def p3_step(carry, sl):
+            A, b = sl[0], sl[1]
+            m = jnp.einsum("...ij,...j->...i", A, carry[0]) + b
+            if with_cov:
+                P = psd.symmetrize(A @ carry[1] @ _mT(A) + sl[2])
+                return (m, P), (m, P)
+            return (m,), (m,)
+
+        init = (starts_mean,) + ((starts_cov,) if with_cov else ())
+        outs, _ = scan_emit(p3_step, params, init)
+        mean_b = outs[0]
+        cov_b = outs[1] if with_cov else None
+
+    mean = jnp.swapaxes(mean_b, 0, 1).reshape((-1, D))[:N]
+    if not with_cov:
+        return Gaussian(mean, None)
+    cov = jnp.swapaxes(cov_b, 0, 1).reshape((-1, D, D))[:N]
+    return Gaussian(mean, cov)
+
+
+def latent_marginals(model, *, n_blocks=None) -> Gaussian:
+    """Latent-chain marginals on the blocked affine schedule (same contract
+    as assoc.latent_marginals)."""
+    F_ev, c_ev, Q_ev, _F_it, _c_it, _Q_it, _emis, _y = assoc._iteration_view(model)
+    x0 = model.trans.x0
+    xs = affine_prefix_states(
+        F_ev, c_ev, Q_ev, x0.mean, x0.cov, n_blocks=n_blocks
+    )
+    return assoc._unflip(model, xs)
+
+
+def rand_with_eps(model, eps_t, eps_e, x_init, *, n_blocks=None):
+    """Joint sample on the blocked affine schedule (same contract as
+    assoc.rand_with_eps)."""
+    F_ev, c_ev, Q_ev, _F_it, _c_it, _Q_it, emis_it, _y = assoc._iteration_view(model)
+    if not model.trans.forward:
+        eps_t = jnp.flip(eps_t, 0)
+        eps_e = jnp.flip(eps_e, 0)
+        eps_t = jnp.concatenate([jnp.zeros_like(eps_t[:1]), eps_t[:-1]], axis=0)
+    Lq = psd.cholesky(psd.add_jitter(psd.symmetrize(Q_ev), 1e-9))
+    b = c_ev + jnp.einsum("nij,nj->ni", Lq, eps_t)
+    xs = affine_prefix_states(
+        F_ev, b, None, x_init, None, n_blocks=n_blocks
+    )
+    ys = em.step_conditional_rand(eps_e, xs.mean, emis_it)
+    return assoc._unflip(model, ys)
+
+
+def posterior(model, y, *, n_blocks=None):
+    """Smoother-as-reverse-LGSSM on the blocked schedule: blocked filtering
+    states + batched dynamics inversion (same semantics as
+    assoc.posterior / the sequential driver)."""
+    from ..models.gauss_markov import GaussMarkov
+    from ..models.lgssm import LGSSM, _invert_dynamics
+
+    if not _supports(model):
+        return assoc.posterior(model, y)
+    xf = filter_(model, y, n_blocks=n_blocks)  # iteration order (forward)
+    x0 = model.trans.x0
+    prev = Gaussian(
+        jnp.concatenate([x0.mean[None].astype(xf.mean.dtype), xf.mean[:-1]]),
+        jnp.concatenate(
+            [psd.symmetrize(x0.cov)[None].astype(xf.cov.dtype), xf.cov[:-1]]
+        ),
+    )
+    from ..utils.fill import tmaterialize
+
+    F = tmaterialize(model.trans.As)
+    c = tmaterialize(model.trans.offs)
+    Q = tmaterialize(model.trans.Qs)
+    xp = assoc._batched_predict(prev, F, c, Q)
+    new_dyn = jax.vmap(_invert_dynamics)(prev, xp, F)
+    x_last = Gaussian(xf.mean[-1], xf.cov[-1])
+    new_trans = GaussMarkov(
+        As=new_dyn[0], offs=new_dyn[1], Qs=new_dyn[2], x0=x_last,
+        forward=not model.trans.forward,
+    )
+    return LGSSM(new_trans, model.emis)
 
 
 def filter_(model, y, *, n_blocks=None, phase2=None):
