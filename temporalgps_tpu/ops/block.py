@@ -239,9 +239,10 @@ def _prepare(model, y, n_blocks):
     return N, B, L, blocked, tail
 
 
-def _pad_tail(model, y, B):
-    """Pad the series so B divides N exactly, instead of running a
-    sequential tail (which would dominate wall time).
+def _pad_tail(model, y, B, L=None):
+    """Pad the series so B divides N exactly (or to B*L for an explicit
+    per-block length L, e.g. the Pallas stream plan's chunk multiple),
+    instead of running a sequential tail (which would dominate wall time).
 
     Pad steps reuse the model's own transitions but observe nothing: their
     observation variance is LARGE_VAR and their lml contribution is the
@@ -258,7 +259,8 @@ def _pad_tail(model, y, B):
     from ..config import LARGE_VAR
 
     N = len(model)
-    L = -(-N // B)  # ceil
+    if L is None:
+        L = -(-N // B)  # ceil
     n_pad = B * L - N
     dtype = model.trans.x0.dtype
     y = jnp.asarray(y, dtype)
@@ -524,8 +526,8 @@ def _logpdf_pallas_impl(model, y, n_blocks, phase2=None):
     B = min(n_blocks or _pallas_blocks(N), N)
     DD = D * D
 
-    _params_p, y_p, s_p, n_pad, comp = _pad_tail(model, y, B)
-    L = (N + n_pad) // B
+    _bt, _lc, L = pk.stream_plan(N, B)
+    _params_p, y_p, s_p, n_pad, comp = _pad_tail(model, y, B, L=L)
     y_main = y_p.reshape(B, L).T  # (L, B)
     s_main = s_p.reshape(B, L).T
 
@@ -637,7 +639,8 @@ def logpdf_fwd_grad(model, y, model_tangents, *, n_blocks=None):
     B = min(n_blocks or _pallas_blocks(N), b_pow, N)
     SD = D + D * D
 
-    _params_p, y_p, s_p, n_pad, comp = _pad_tail(model, y, B)
+    _bt, _lc, L = pk.stream_plan(N, B)
+    _params_p, y_p, s_p, n_pad, comp = _pad_tail(model, y, B, L=L)
     # NaN observations are handled natively: large-variance fill + volume
     # compensation (reference: src/models/missings.jl:43-53); the same
     # in-kernel mask that zeroes the noise tangent at padding steps covers
@@ -646,7 +649,6 @@ def logpdf_fwd_grad(model, y, model_tangents, *, n_blocks=None):
 
     s_p, y_p, n_missing = fill_in_missings(s_p, y_p)
     comp = comp + _volume_compensation(n_missing, dtype)
-    L = (N + n_pad) // B
     y_main = y_p.reshape(B, L).T
     s_main = s_p.reshape(B, L).T
 

@@ -124,16 +124,49 @@ def _im_lane(i):
 
 
 # ---------------------------------------------------------------------------
-# Phase 1: within-block element aggregation
+# L-chunked streaming grid
 # ---------------------------------------------------------------------------
+#
+# Phases 1 and 3 stream (L, b_tile) observation blocks through VMEM. For a
+# small fused-phase-2 block count B, L = N/B can be arbitrarily long, so the
+# stream is chunked along L with a second (fastest, sequential) grid axis and
+# the recursion carry held in VMEM scratch across chunks — the standard TPU
+# Pallas accumulation pattern. Callers pad N so the chunk length divides L
+# (pad steps are LARGE_VAR pseudo-observations whose lml is compensated as a
+# constant, exactly like the tail padding, ops/block._pad_tail).
 
-def _phase1_kernel(p_ref, y_ref, s_ref, out_ref, *, D, L):
-    A, a, Q, H, h = _unpack_params(p_ref, D)
-    B_TILE = y_ref.shape[1]
-    dtype = y_ref.dtype
+
+def stream_plan(N: int, B: int, requested_b: int = 4096):
+    """(b_tile, Lc, L): lane tile, VMEM chunk length, padded per-block
+    length (a multiple of Lc) for a blocked stream of N steps over B blocks.
+    Keeps Lc * b_tile <= 2^18 elements per stream block."""
+    b = 1
+    while b * 2 <= min(requested_b, B) and B % (b * 2) == 0:
+        b *= 2
+    Lc = max(8, (1 << 18) // b)
+    L_raw = -(-N // B)
+    if L_raw <= Lc:
+        return b, L_raw, L_raw
+    L = -(-L_raw // Lc) * Lc
+    return b, Lc, L
+
+
+def _im_stream(i, l):
+    return (_i32(l), _i32(i))
+
+
+def _im_lane2(i, l):
+    return (_i32(0), _i32(i))
+
+
+def _im_const2(i, l):
+    return (_i32(0), _i32(0))
+
+
+def _identity_comps(D, B_TILE, dtype):
     ones = jnp.ones((B_TILE,), dtype)
     zeros = jnp.zeros((B_TILE,), dtype)
-    carry = (
+    return (
         lanes.eye(D, ones, zeros),
         (zeros,) * D,
         tuple(tuple(zeros for _ in range(D)) for _ in range(D)),
@@ -141,33 +174,75 @@ def _phase1_kernel(p_ref, y_ref, s_ref, out_ref, *, D, L):
         tuple(tuple(zeros for _ in range(D)) for _ in range(D)),
     )
 
+
+def _read_elem_rows(ref, D, base=0):
+    DD = D * D
+    row = lambda k: ref[base + k, :]
+    A = tuple(tuple(row(r * D + c) for c in range(D)) for r in range(D))
+    b = tuple(row(DD + i) for i in range(D))
+    C = tuple(tuple(row(DD + D + r * D + c) for c in range(D)) for r in range(D))
+    eta = tuple(row(2 * DD + D + i) for i in range(D))
+    J = tuple(
+        tuple(row(2 * DD + 2 * D + r * D + c) for c in range(D)) for r in range(D)
+    )
+    return (A, b, C, eta, J)
+
+
+def _write_elem_rows(ref, e, D, base=0):
+    for k, c in enumerate(_flatten_elem(e, D)):
+        ref[base + k, :] = c
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: within-block element aggregation
+# ---------------------------------------------------------------------------
+
+def _phase1_kernel(p_ref, y_ref, s_ref, out_ref, carry_ref, *, D, Lc, n_l):
+    A, a, Q, H, h = _unpack_params(p_ref, D)
+    B_TILE = y_ref.shape[1]
+    dtype = y_ref.dtype
+    l_id = pl.program_id(1)
+
+    @pl.when(l_id == 0)
+    def _():
+        _write_elem_rows(carry_ref, _identity_comps(D, B_TILE, dtype), D)
+
+    carry = _read_elem_rows(carry_ref, D)
+
     def body(l, c):
         e = lanes.step_element(A, a, Q, H, h, s_ref[l, :], y_ref[l, :], 1.0, 0.0)
         return lanes.combine(c, e)
 
-    carry = _loop(L, body, carry)
-    for k, c in enumerate(_flatten_elem(carry, D)):
-        out_ref[k, :] = c
+    carry = _loop(Lc, body, carry)
+    _write_elem_rows(carry_ref, carry, D)
+
+    @pl.when(l_id == n_l - 1)
+    def _():
+        _write_elem_rows(out_ref, carry, D)
 
 
 def phase1_aggregate(y_blocked, s_blocked, packed_params, D, *, b_tile=4096):
-    """(L, B) y and noise -> element components (K, B), K = 3*D*D + 2*D."""
+    """(L, B) y and noise -> element components (K, B), K = 3*D*D + 2*D.
+    L must be the stream_plan-padded length (a multiple of the chunk)."""
     L, B = y_blocked.shape
     K = 3 * D * D + 2 * D
-    b_tile = _auto_b_tile(L, B, b_tile)
+    b_tile, Lc, L_plan = stream_plan(B * L, B, b_tile)
+    assert L == L_plan and L % Lc == 0, (L, L_plan, Lc)
+    n_l = L // Lc
     packed_params = packed_params.reshape(1, -1)
     PK = packed_params.shape[1]
-    kernel = functools.partial(_phase1_kernel, D=D, L=L)
+    kernel = functools.partial(_phase1_kernel, D=D, Lc=Lc, n_l=n_l)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((K, B), y_blocked.dtype),
-        grid=(B // b_tile,),
+        grid=(B // b_tile, n_l),
         in_specs=[
-            pl.BlockSpec((1, PK), _im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PK), _im_const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, b_tile), _im_lane, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((K, b_tile), _im_lane2, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K, b_tile), y_blocked.dtype)],
         interpret=_interpret(),
     )(packed_params, y_blocked, s_blocked)
 
@@ -330,21 +405,30 @@ def _zeros_like_tree(t):
     return jax.tree_util.tree_map(jnp.zeros_like, t)
 
 
-def _phase1_jvp_kernel(p_ref, y_ref, s_ref, out_ref, *, D, L, k):
+def _phase1_jvp_kernel(p_ref, y_ref, s_ref, out_ref, carry_ref, *, D, Lc,
+                       n_l, k):
     rows = _unpack_rows(p_ref, D, k)
     A, a, Q, H, h, _s = rows[0]
     B_TILE = y_ref.shape[1]
     dtype = y_ref.dtype
     ones = jnp.ones((B_TILE,), dtype)
     zeros = jnp.zeros((B_TILE,), dtype)
-    ident = (
-        lanes.eye(D, ones, zeros),
-        (zeros,) * D,
-        tuple(tuple(zeros for _ in range(D)) for _ in range(D)),
-        (zeros,) * D,
-        tuple(tuple(zeros for _ in range(D)) for _ in range(D)),
+    K = 3 * D * D + 2 * D
+    l_id = pl.program_id(1)
+
+    @pl.when(l_id == 0)
+    def _():
+        ident = _identity_comps(D, B_TILE, dtype)
+        _write_elem_rows(carry_ref, ident, D, base=0)
+        for j in range(k):
+            _write_elem_rows(
+                carry_ref, _zeros_like_tree(ident), D, base=(1 + j) * K
+            )
+
+    carry = (
+        _read_elem_rows(carry_ref, D, base=0),
+        tuple(_read_elem_rows(carry_ref, D, base=(1 + j) * K) for j in range(k)),
     )
-    carry = (ident, tuple(_zeros_like_tree(ident) for _ in range(k)))
 
     def body(l, c):
         prim, tans = c
@@ -364,11 +448,15 @@ def _phase1_jvp_kernel(p_ref, y_ref, s_ref, out_ref, *, D, L, k):
             tans_new.append(lin_c(tans[j], de))
         return (prim_new, tuple(tans_new))
 
-    prim, tans = _loop(L, body, carry)
-    for j, e in enumerate((prim,) + tuple(tans)):
-        base = j * (3 * D * D + 2 * D)
-        for kk, comp in enumerate(_flatten_elem(e, D)):
-            out_ref[base + kk, :] = comp
+    prim, tans = _loop(Lc, body, carry)
+    _write_elem_rows(carry_ref, prim, D, base=0)
+    for j in range(k):
+        _write_elem_rows(carry_ref, tans[j], D, base=(1 + j) * K)
+
+    @pl.when(l_id == n_l - 1)
+    def _():
+        for j, e in enumerate((prim,) + tuple(tans)):
+            _write_elem_rows(out_ref, e, D, base=j * K)
 
 
 def phase1_jvp(y_blocked, s_blocked, packed_rows, D, k, *, b_tile=4096):
@@ -376,19 +464,24 @@ def phase1_jvp(y_blocked, s_blocked, packed_rows, D, k, *, b_tile=4096):
     components (primal block aggregates followed by k tangent sets)."""
     L, B = y_blocked.shape
     K = 3 * D * D + 2 * D
-    b_tile = _auto_b_tile(L, B, b_tile)
+    b_tile, Lc, L_plan = stream_plan(B * L, B, b_tile)
+    assert L == L_plan and L % Lc == 0, (L, L_plan, Lc)
+    n_l = L // Lc
     PK2 = packed_rows.shape[-1]
-    kernel = functools.partial(_phase1_jvp_kernel, D=D, L=L, k=k)
+    kernel = functools.partial(_phase1_jvp_kernel, D=D, Lc=Lc, n_l=n_l, k=k)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(((1 + k) * K, B), y_blocked.dtype),
-        grid=(B // b_tile,),
+        grid=(B // b_tile, n_l),
         in_specs=[
-            pl.BlockSpec((1 + k, PK2), _im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1 + k, PK2), _im_const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(((1 + k) * K, b_tile), _im_lane, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            ((1 + k) * K, b_tile), _im_lane2, memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM(((1 + k) * K, b_tile), y_blocked.dtype)],
         interpret=_interpret(),
     )(packed_rows, y_blocked, s_blocked)
 
@@ -478,7 +571,8 @@ def phase2_jvp_starts(comps, priors, D, k):
     )(priors, comps)
 
 
-def _phase3_jvp_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L, k):
+def _phase3_jvp_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, carry_ref, *,
+                       D, Lc, n_l, k):
     rows = _unpack_rows(p_ref, D, k)
     A, a, Q, H, h, _s = rows[0]
     B_TILE = y_ref.shape[1]
@@ -486,19 +580,21 @@ def _phase3_jvp_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L, k):
     ones = jnp.ones((B_TILE,), dtype)
     zeros = jnp.zeros((B_TILE,), dtype)
     SD = D + D * D
+    SA = SD + 1  # per-set carry rows: state + lml accumulator
+    l_id = pl.program_id(1)
 
-    def read_state(j):
-        m = tuple(start_ref[j * SD + i, :] for i in range(D))
-        P = tuple(
-            tuple(start_ref[j * SD + D + r * D + c, :] for c in range(D))
-            for r in range(D)
-        )
-        return (m, P)
+    @pl.when(l_id == 0)
+    def _():
+        for j in range(1 + k):
+            m0, P0 = _read_state_rows(start_ref, D, base=j * SD)
+            _write_state_rows(carry_ref, m0, P0, D, base=j * SA)
+            carry_ref[j * SA + SD, :] = zeros
 
-    carry = (
-        read_state(0) + (zeros,),
-        tuple(read_state(1 + j) + (zeros,) for j in range(k)),
-    )
+    def read_carry(j):
+        m, P = _read_state_rows(carry_ref, D, base=j * SA)
+        return (m, P, carry_ref[j * SA + SD, :])
+
+    carry = (read_carry(0), tuple(read_carry(1 + j) for j in range(k)))
 
     def body(l, c):
         (m, P, acc), tans = c
@@ -518,30 +614,46 @@ def _phase3_jvp_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L, k):
             new_tans.append((dm_new, dP_new, dacc + dlml))
         return ((m_new, P_new, acc + lml), tuple(new_tans))
 
-    (m, P, acc), tans = _loop(L, body, carry)
-    lml_ref[0, :] = acc
+    (m, P, acc), tans = _loop(Lc, body, carry)
+    _write_state_rows(carry_ref, m, P, D, base=0)
+    carry_ref[SD, :] = acc
     for j in range(k):
-        lml_ref[1 + j, :] = tans[j][2]
+        dm, dP, dacc = tans[j]
+        _write_state_rows(carry_ref, dm, dP, D, base=(1 + j) * SA)
+        carry_ref[(1 + j) * SA + SD, :] = dacc
+
+    @pl.when(l_id == n_l - 1)
+    def _():
+        lml_ref[0, :] = acc
+        for j in range(k):
+            lml_ref[1 + j, :] = tans[j][2]
 
 
 def phase3_jvp_lml(y_blocked, s_blocked, packed_rows, starts, D, k, *, b_tile=4096):
     """-> (1+k, B) per-block lml sums (primal row then k tangent rows)."""
     L, B = y_blocked.shape
-    b_tile = _auto_b_tile(L, B, b_tile)
+    b_tile, Lc, L_plan = stream_plan(B * L, B, b_tile)
+    assert L == L_plan and L % Lc == 0, (L, L_plan, Lc)
+    n_l = L // Lc
     PK2 = packed_rows.shape[-1]
     SD = D + D * D
-    kernel = functools.partial(_phase3_jvp_kernel, D=D, L=L, k=k)
+    kernel = functools.partial(_phase3_jvp_kernel, D=D, Lc=Lc, n_l=n_l, k=k)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1 + k, B), y_blocked.dtype),
-        grid=(B // b_tile,),
+        grid=(B // b_tile, n_l),
         in_specs=[
-            pl.BlockSpec((1 + k, PK2), _im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec(((1 + k) * SD, b_tile), _im_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1 + k, PK2), _im_const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                ((1 + k) * SD, b_tile), _im_lane2, memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((1 + k, b_tile), _im_lane, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1 + k, b_tile), _im_lane2, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(((1 + k) * (SD + 1), b_tile), y_blocked.dtype)
+        ],
         interpret=_interpret(),
     )(packed_rows, y_blocked, s_blocked, starts)
 
@@ -550,16 +662,39 @@ def phase3_jvp_lml(y_blocked, s_blocked, packed_rows, starts, D, k, *, b_tile=40
 # Phase 3: within-block Kalman recursion with lml accumulation
 # ---------------------------------------------------------------------------
 
-def _phase3_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L):
+def _read_state_rows(ref, D, base=0):
+    m = tuple(ref[base + i, :] for i in range(D))
+    P = tuple(
+        tuple(ref[base + D + r * D + c, :] for c in range(D)) for r in range(D)
+    )
+    return m, P
+
+
+def _write_state_rows(ref, m, P, D, base=0):
+    for i in range(D):
+        ref[base + i, :] = m[i]
+    for r in range(D):
+        for c in range(D):
+            ref[base + D + r * D + c, :] = P[r][c]
+
+
+def _phase3_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, carry_ref, *, D,
+                   Lc, n_l):
     A, a, Q, H, h = _unpack_params(p_ref, D)
     B_TILE = y_ref.shape[1]
     dtype = y_ref.dtype
-    m = tuple(start_ref[i, :] for i in range(D))
-    P = tuple(
-        tuple(start_ref[D + r * D + c, :] for c in range(D)) for r in range(D)
-    )
-    acc = jnp.zeros((B_TILE,), dtype)
+    SD = D + D * D
+    l_id = pl.program_id(1)
     log2pi = math.log(2.0 * math.pi)
+
+    @pl.when(l_id == 0)
+    def _():
+        m0, P0 = _read_state_rows(start_ref, D)
+        _write_state_rows(carry_ref, m0, P0, D)
+        carry_ref[SD, :] = jnp.zeros((B_TILE,), dtype)
+
+    m, P = _read_state_rows(carry_ref, D)
+    acc = carry_ref[SD, :]
 
     def body(l, carry):
         m, P, acc = carry
@@ -575,29 +710,37 @@ def _phase3_kernel(p_ref, y_ref, s_ref, start_ref, lml_ref, *, D, L):
         P = lanes.sym(lanes.msub(Pp, lanes.outer(Kg, V)))
         return (m, P, acc)
 
-    m, P, acc = _loop(L, body, (m, P, acc))
-    lml_ref[0, :] = acc
+    m, P, acc = _loop(Lc, body, (m, P, acc))
+    _write_state_rows(carry_ref, m, P, D)
+    carry_ref[SD, :] = acc
+
+    @pl.when(l_id == n_l - 1)
+    def _():
+        lml_ref[0, :] = acc
 
 
 def phase3_lml(y_blocked, s_blocked, packed_params, starts, D, *, b_tile=4096):
     """starts: (D + D*D, B) component-major block-start states -> (B,) lmls."""
     L, B = y_blocked.shape
-    b_tile = _auto_b_tile(L, B, b_tile)
+    b_tile, Lc, L_plan = stream_plan(B * L, B, b_tile)
+    assert L == L_plan and L % Lc == 0, (L, L_plan, Lc)
+    n_l = L // Lc
     packed_params = packed_params.reshape(1, -1)
     PK = packed_params.shape[1]
     SD = D + D * D
-    kernel = functools.partial(_phase3_kernel, D=D, L=L)
+    kernel = functools.partial(_phase3_kernel, D=D, Lc=Lc, n_l=n_l)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), y_blocked.dtype),
-        grid=(B // b_tile,),
+        grid=(B // b_tile, n_l),
         in_specs=[
-            pl.BlockSpec((1, PK), _im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, b_tile), _im_lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SD, b_tile), _im_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PK), _im_const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SD, b_tile), _im_lane2, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, b_tile), _im_lane, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, b_tile), _im_lane2, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((SD + 1, b_tile), y_blocked.dtype)],
         interpret=_interpret(),
     )(packed_params, y_blocked, s_blocked, starts)
     return out[0]
