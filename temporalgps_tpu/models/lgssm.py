@@ -229,6 +229,16 @@ def marginals_diag(model: LGSSM, *, engine=None):
     """Observation-space marginal means and variance diagonals
     (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
     engine = _resolve_engine(engine, model)
+    if engine == "block" and isinstance(model.emis, em.ScalarEmissions):
+        from ..ops import block
+
+        if (
+            jax.default_backend() == "tpu"
+            and block._marginals_pallas_supported(model)
+        ):
+            # Fully component-major: latent prefix AND emission projection
+            # never materialise (N, D, D) arrays.
+            return block.marginals_diag_pallas(model)
     if engine in ("parallel", "block"):
         xs = _latent_marginals_engine(model, engine)
         return em.step_predict_marginals(xs, _emis_batched(model))
@@ -271,11 +281,17 @@ def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
 
 def _latent_marginals_engine(model, engine):
     """Latent marginals on the requested parallel schedule: the blocked
-    affine engine (ops/block.affine_prefix_states) for engine="block", the
-    N-element associative scan for engine="parallel"."""
+    affine engine (ops/block) for engine="block" — component-major Pallas
+    pipeline on TPU for D <= 3, XLA blocked otherwise — or the N-element
+    associative scan for engine="parallel"."""
     if engine == "block":
         from ..ops import block
 
+        if (
+            jax.default_backend() == "tpu"
+            and block._marginals_pallas_supported(model)
+        ):
+            return block.latent_marginals_pallas(model)
         return block.latent_marginals(model)
     from ..ops import assoc
 

@@ -175,6 +175,11 @@ def _filter_elements(F, c, Q, emis_it, y_it, x0: Gaussian):
         w = jnp.einsum("nji,nj->ni", F, H)  # F' H
         eta_e = w * (resid / S)[:, None]
         J_e = psd.symmetrize(w[:, :, None] * w[:, None, :] / S[:, None, None])
+    elif (diag := _diag_emission_params(emis_it)) is not None:
+        Hd, dd, s_diag = diag
+        A_e, b_e, C_e, eta_e, J_e = element_dense_diag(
+            F, c, Q, Hd, dd, s_diag, y_it
+        )
     else:
         H, d, R = _dense_emission_params(emis_it)
         S = psd.symmetrize(H @ Q @ _mT(H) + R)
@@ -201,6 +206,63 @@ def _filter_elements(F, c, Q, emis_it, y_it, x0: Gaussian):
     return tuple(
         jnp.concatenate([p, e], axis=0) for p, e in zip(prior, elems)
     )
+
+
+def element_dense_diag(F, c, Q, H, d, s_diag, y):
+    """Filtering element for vector emissions with DIAGONAL observation
+    noise, via the input-space (LargeOutputLGC-style) factorisation: every
+    Cholesky/solve is Din-dim; the only Dout-sized work is one
+    (Dout,Din)x(Dout,Din) gram and two matvecs — MXU-shaped batched matmuls
+    instead of a per-step Dout-dim innovation Cholesky (reference analogue:
+    linear_gaussian_conditionals.jl:179-204, applied here to the parallel
+    element construction, which the reference does not have).
+
+    With B = H Lp (Lp = chol(Q)) and R = diag(s):
+        S   = B B' + R
+        Fm  = I + B' R^{-1} B = I + Lp' Gram Lp,   Gram = H' R^{-1} H
+        P_e = Lp Fm^{-1} Lp'           (PSD by construction)
+        K r = Lp Fm^{-1} Lp' u,        u = H' R^{-1} r
+        H' S^{-1} H = Gram - T' Fm^{-1} T,   T = Lp' Gram
+        H' S^{-1} r = u - T' Fm^{-1} (Lp' u)
+    Batched over arbitrary leading axes.
+    """
+    from ..config import IDENT_EPS
+
+    D = F.shape[-1]
+    dtype = F.dtype
+    I = jnp.eye(D, dtype=dtype)
+    q_isqrt = 1.0 / jnp.sqrt(s_diag)                       # (..., Dout)
+    Hw = H * q_isqrt[..., None]                            # (..., Dout, D)
+    delta = q_isqrt * (y - (jnp.einsum("...ij,...j->...i", H, c) + d))
+    Gram = psd.symmetrize(_mT(Hw) @ Hw)                    # (..., D, D)
+    u = jnp.einsum("...ji,...j->...i", Hw, delta)          # H' R^{-1} r
+    Lp = psd.cholesky(psd.add_jitter(psd.symmetrize(Q), IDENT_EPS))
+    T = _mT(Lp) @ Gram                                     # (..., D, D)
+    Fm = psd.symmetrize(T @ Lp) + I
+    Lf = psd.cholesky(Fm)
+    G = psd.tri_solve(Lf, _mT(Lp))                         # Lf^{-1} Lp'
+    C_e = _mT(G) @ G                                       # Lp Fm^{-1} Lp'
+    Lpu = jnp.einsum("...ji,...j->...i", Lp, u)            # Lp' u
+    FmiLpu = psd.chol_solve(Lf, Lpu[..., None])[..., 0]    # Fm^{-1} Lp' u
+    b_e = c + jnp.einsum("...ij,...j->...i", Lp, FmiLpu)   # c + K r
+    M1 = psd.symmetrize(Gram - _mT(T) @ psd.chol_solve(Lf, T))  # H'S^{-1}H
+    A_e = F - psd.symmetrize(Q) @ (M1 @ F)                 # (I - K H) F
+    w = u - jnp.einsum("...ji,...j->...i", T, FmiLpu)      # H' S^{-1} r
+    eta_e = jnp.einsum("...ji,...j->...i", F, w)
+    J_e = psd.symmetrize(_mT(F) @ M1 @ F)
+    return (A_e, b_e, C_e, eta_e, J_e)
+
+
+def _diag_emission_params(e):
+    """(H, d, s_diag) for the diagonal-noise vector emissions (Large /
+    Bottleneck), batched over leading axes; None if not applicable."""
+    if isinstance(e, em.LargeEmissions):
+        return e.C, e.c, e.s_diag
+    if isinstance(e, em.BottleneckEmissions):
+        H = e.C @ e.H
+        d = jnp.einsum("...ij,...j->...i", e.C, e.h) + e.c
+        return H, d, e.s_diag
+    return None
 
 
 def _dense_emission_params(emis_it):

@@ -98,7 +98,12 @@ def _step_element(params, D, dtype):
             w[..., :, None] * w[..., None, :] / S[..., None, None]
         )
         return (A_e, b_e, C_e, eta_e, J_e)
-    # vector emissions: effective dense (H, d, R) per slice
+    # vector emissions with diagonal noise (Large / Bottleneck, the DTC
+    # path): input-space factorised element — no Dout-dim Cholesky.
+    if (diag := assoc._diag_emission_params(e)) is not None:
+        Hd, dd, s_diag = diag
+        return assoc.element_dense_diag(A, a, Q, Hd, dd, s_diag, yt)
+    # dense-noise vector emissions: effective dense (H, d, R) per slice
     H, d, R = _dense_emission_slice(e)
     S = psd.symmetrize(H @ Q @ _mT(H) + R)
     Ls = psd.cholesky(S)
@@ -942,6 +947,209 @@ def rand_with_eps(model, eps_t, eps_e, x_init, *, n_blocks=None):
     return assoc._unflip(model, ys)
 
 
+# ---------------------------------------------------------------------------
+# Component-major posterior pipeline (Pallas, scalar emissions, D <= 3)
+# ---------------------------------------------------------------------------
+
+def _comps_to_mats(rows, D, off=0):
+    """(SD/KT, N) component rows -> lanes-style nested tuples of (N,)."""
+    m = tuple(rows[off + i] for i in range(D))
+    P = tuple(
+        tuple(rows[off + D + r * D + c] for c in range(D)) for r in range(D)
+    )
+    return m, P
+
+
+def _scalar_mat(M, D):
+    return tuple(tuple(M[r, c] for c in range(D)) for r in range(D))
+
+
+def _posterior_pallas(model, y, n_blocks=None):
+    """block.posterior in component-major form: Pallas filter-state pipeline
+    + lane-layout batched dynamics inversion. Same semantics/containers as
+    the generic path; ~none of the (N, D, D)-layout relayout traffic."""
+    from ..config import POSTERIOR_JITTER
+    from . import lanes
+    from . import pallas_kernels as pk
+    from ..models.gauss_markov import GaussMarkov
+    from ..models.lgssm import LGSSM
+
+    D = model.latent_dim
+    SD = D + D * D
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    N = len(model)
+    B = min(n_blocks or _pallas_blocks(N), N)
+    b_tile, Lc, L = pk._state_plan(N, B, rows=2 + SD)
+    _params_p, y_p, s_p, _n_pad, _comp = _pad_tail(model, y, B, L=L)
+    y_main = y_p.reshape(B, L).T
+    s_main = s_p.reshape(B, L).T
+    t = model.trans
+    packed = pk.pack_params(
+        t.As.value, t.offs.value, t.Qs.value, model.emis.H.value,
+        model.emis.h.value, dtype,
+    )
+    comps = pk.phase1_aggregate(y_main, s_main, packed, D, plan=(b_tile, Lc))
+    starts = pk.phase2_starts(comps, x0.mean, psd.symmetrize(x0.cov), D)
+    st = pk.phase3_states(y_main, s_main, packed, starts, D, plan=(b_tile, Lc))
+    xf = jnp.reshape(jnp.swapaxes(st, 1, 2), (SD, B * L))[:, :N]
+
+    mf, Pf = _comps_to_mats(xf, D)
+    x0P = psd.symmetrize(x0.cov)
+    shift = lambda comp, init: jnp.concatenate(
+        [jnp.reshape(jnp.asarray(init, dtype), (1,)), comp[:-1]]
+    )
+    m_prev = tuple(shift(mf[i], x0.mean[i]) for i in range(D))
+    P_prev = tuple(
+        tuple(shift(Pf[r][c], x0P[r, c]) for c in range(D)) for r in range(D)
+    )
+    A_c = _scalar_mat(t.As.value, D)
+    a_c = tuple(t.offs.value[i] for i in range(D))
+    Q_c = _scalar_mat(t.Qs.value, D)
+
+    mp = lanes.vadd(lanes.mv(A_c, m_prev), a_c)
+    Pp = lanes.madd(lanes.sym(lanes.mmT(lanes.mm(A_c, P_prev), A_c)), Q_c)
+    Ppj = tuple(
+        tuple(
+            Pp[r][c] + (POSTERIOR_JITTER if r == c else 0.0) for c in range(D)
+        )
+        for r in range(D)
+    )
+    # Same reversed-dynamics algebra as models/lgssm._invert_dynamics, with
+    # the D<=3 adjugate inverse in lane layout.
+    G = lanes.mm(lanes.inv(Ppj), lanes.mm(A_c, P_prev))
+    A_rev = tuple(tuple(G[c][r] for c in range(D)) for r in range(D))
+    a_rev = lanes.vsub(m_prev, lanes.mTv(G, mp))
+    Q_rev = lanes.msub(P_prev, lanes.mTm(G, lanes.mm(Ppj, G)))
+
+    x_last = Gaussian(
+        jnp.stack([mf[i][-1] for i in range(D)]),
+        jnp.stack(
+            [jnp.stack([Pf[r][c][-1] for c in range(D)]) for r in range(D)]
+        ),
+    )
+    new_trans = GaussMarkov(
+        As=lanes.mat_to_array(A_rev),
+        offs=lanes.vec_to_array(a_rev),
+        Qs=lanes.mat_to_array(Q_rev),
+        x0=x_last,
+        forward=False,
+    )
+    return LGSSM(new_trans, model.emis)
+
+
+def _affine_comps_iteration(model):
+    """Iteration-order affine parameter comps (KT, N) + initial state for
+    the latent-marginal prefix (identity-shifted, flipped for Reverse
+    models — cf. assoc._iteration_view)."""
+    from . import lanes
+    from ..utils.fill import tmaterialize
+
+    D = model.latent_dim
+    N = len(model)
+    F = tmaterialize(model.trans.As)
+    c = tmaterialize(model.trans.offs)
+    Q = tmaterialize(model.trans.Qs)
+    dtype = F.dtype
+    rows = []
+    if model.trans.forward:
+        # Forward: transition-then-emit — marginal j includes transition j.
+        for r in range(D):
+            for cc in range(D):
+                rows.append(F[:, r, cc])
+        for i in range(D):
+            rows.append(c[:, i])
+        for r in range(D):
+            for cc in range(D):
+                rows.append(Q[:, r, cc])
+        return jnp.stack(rows)
+    # Reverse: emit-then-transition — flip to iteration order and shift by
+    # one with the identity map, as in assoc._iteration_view.
+    F, c, Q = jnp.flip(F, 0), jnp.flip(c, 0), jnp.flip(Q, 0)
+    for r in range(D):
+        for cc in range(D):
+            comp = F[:, r, cc]
+            ident = jnp.asarray(1.0 if r == cc else 0.0, dtype)
+            rows.append(jnp.concatenate([ident[None], comp[:-1]]))
+    for i in range(D):
+        rows.append(jnp.concatenate([jnp.zeros((1,), dtype), c[:-1, i]]))
+    for r in range(D):
+        for cc in range(D):
+            rows.append(jnp.concatenate([jnp.zeros((1,), dtype), Q[:-1, r, cc]]))
+    return jnp.stack(rows)  # (KT, N)
+
+
+def _marginals_pallas_supported(model) -> bool:
+    # The affine pipeline needs no matrix inversion, so the only gate is the
+    # lane-major component layout staying sane (D*D rows): the Matern dims.
+    return model.latent_dim <= 3
+
+
+def latent_marginal_comps_pallas(model, *, n_blocks=None):
+    """Latent marginals in component-major (SD, N) form via the affine
+    Pallas pipeline; iteration order already un-flipped to model order."""
+    from . import pallas_kernels as pk
+
+    D = model.latent_dim
+    SD = D + D * D
+    KT = 2 * D * D + D
+    N = len(model)
+    x0 = model.trans.x0
+    dtype = x0.dtype
+
+    params = _affine_comps_iteration(model)  # (KT, N)
+    B = min(n_blocks or _pallas_blocks(N), N)
+    b_tile, Lc, L = pk._state_plan(N, B, rows=KT + SD)
+    n_pad = B * L - N
+    if n_pad:
+        ident_col = jnp.zeros((KT,), dtype).at[
+            jnp.arange(D) * (D + 1)
+        ].set(1.0)
+        pad = jnp.broadcast_to(ident_col[:, None], (KT, n_pad))
+        params = jnp.concatenate([params, pad], axis=1)
+    params3 = jnp.swapaxes(params.reshape(KT, B, L), 1, 2)  # (KT, L, B)
+
+    agg = pk.affine_phase1(params3, D, plan=(b_tile, Lc))
+    starts = pk.affine_phase2_starts(
+        agg, x0.mean, psd.symmetrize(x0.cov), D
+    )
+    st = pk.affine_phase3_states(params3, starts, D, plan=(b_tile, Lc))
+    comps = jnp.reshape(jnp.swapaxes(st, 1, 2), (SD, B * L))[:, :N]
+    if not model.trans.forward:
+        comps = jnp.flip(comps, axis=1)
+    return comps
+
+
+def latent_marginals_pallas(model, *, n_blocks=None) -> Gaussian:
+    from . import lanes
+
+    D = model.latent_dim
+    comps = latent_marginal_comps_pallas(model, n_blocks=n_blocks)
+    m, P = _comps_to_mats(comps, D)
+    return Gaussian(lanes.vec_to_array(m), lanes.mat_to_array(P))
+
+
+def marginals_diag_pallas(model, *, n_blocks=None):
+    """(means, vars) of the observation-space marginals, fully
+    component-major (scalar emissions): the smoothing-prediction hot path."""
+    from . import lanes
+    from ..utils.fill import is_fill, tmaterialize
+
+    D = model.latent_dim
+    e = model.emis
+    comps = latent_marginal_comps_pallas(model, n_blocks=n_blocks)
+    m, P = _comps_to_mats(comps, D)
+    if is_fill(e.H):
+        H_c = tuple(e.H.value[i] for i in range(D))
+    else:
+        H_c = tuple(e.H[:, i] for i in range(D))
+    h = e.h.value if is_fill(e.h) else e.h
+    s = tmaterialize(e.s)
+    mu = lanes.vdot(H_c, m) + h
+    var = lanes.vdot(H_c, lanes.mv(P, H_c)) + s
+    return mu, var
+
+
 def posterior(model, y, *, n_blocks=None):
     """Smoother-as-reverse-LGSSM on the blocked schedule: blocked filtering
     states + batched dynamics inversion (same semantics as
@@ -951,6 +1159,8 @@ def posterior(model, y, *, n_blocks=None):
 
     if not _supports(model):
         return assoc.posterior(model, y)
+    if _pallas_supported(model) and jax.default_backend() == "tpu":
+        return _posterior_pallas(model, y, n_blocks)
     xf = filter_(model, y, n_blocks=n_blocks)  # iteration order (forward)
     x0 = model.trans.x0
     prev = Gaussian(

@@ -136,14 +136,17 @@ def _im_lane(i):
 # constant, exactly like the tail padding, ops/block._pad_tail).
 
 
-def stream_plan(N: int, B: int, requested_b: int = 4096):
+def stream_plan(N: int, B: int, requested_b: int = 4096, rows: int = 2):
     """(b_tile, Lc, L): lane tile, VMEM chunk length, padded per-block
     length (a multiple of Lc) for a blocked stream of N steps over B blocks.
-    Keeps Lc * b_tile <= 2^18 elements per stream block."""
+    `rows` is the total per-step component rows streamed in + out; the plan
+    keeps rows * Lc * b_tile <= 2^19 elements (~4MB double-buffered f32)."""
     b = 1
     while b * 2 <= min(requested_b, B) and B % (b * 2) == 0:
         b *= 2
-    Lc = max(8, (1 << 18) // b)
+    # Mosaic requires the second-to-last block dim be a multiple of 8 (or the
+    # full array dim) — keep Lc sublane-aligned.
+    Lc = max(8, ((1 << 19) // (rows * b)) & ~7)
     L_raw = -(-N // B)
     if L_raw <= Lc:
         return b, L_raw, L_raw
@@ -221,13 +224,19 @@ def _phase1_kernel(p_ref, y_ref, s_ref, out_ref, carry_ref, *, D, Lc, n_l):
         _write_elem_rows(out_ref, carry, D)
 
 
-def phase1_aggregate(y_blocked, s_blocked, packed_params, D, *, b_tile=4096):
+def phase1_aggregate(y_blocked, s_blocked, packed_params, D, *, b_tile=4096,
+                     plan=None):
     """(L, B) y and noise -> element components (K, B), K = 3*D*D + 2*D.
-    L must be the stream_plan-padded length (a multiple of the chunk)."""
+    L must be the stream_plan-padded length (a multiple of the chunk); pass
+    `plan=(b_tile, Lc)` to share a pipeline-wide blocking."""
     L, B = y_blocked.shape
     K = 3 * D * D + 2 * D
-    b_tile, Lc, L_plan = stream_plan(B * L, B, b_tile)
-    assert L == L_plan and L % Lc == 0, (L, L_plan, Lc)
+    if plan is None:
+        b_tile, Lc, L_plan = stream_plan(B * L, B, b_tile)
+        assert L == L_plan, (L, L_plan)
+    else:
+        b_tile, Lc = plan
+    assert L % Lc == 0 and B % b_tile == 0, (L, Lc, B, b_tile)
     n_l = L // Lc
     packed_params = packed_params.reshape(1, -1)
     PK = packed_params.shape[1]
@@ -744,3 +753,292 @@ def phase3_lml(y_blocked, s_blocked, packed_params, starts, D, *, b_tile=4096):
         interpret=_interpret(),
     )(packed_params, y_blocked, s_blocked, starts)
     return out[0]
+
+
+# ---------------------------------------------------------------------------
+# Component-major posterior pipeline kernels
+# ---------------------------------------------------------------------------
+#
+# The smoothing-marginals workload (posterior + marginals_diag) is a chain
+# of per-step maps with no XLA-friendly (N, D, D) layout: XLA pads the
+# trailing (D, D) of small-D arrays to (8, 128) tiles, and the phase scans
+# re-pay dispatch. These kernels keep EVERYTHING component-major:
+#
+#   states  (SD, N)  rows = D mean comps + D*D covariance comps
+#   affine  (KT, N)  rows = D*D A comps + D offset comps + D*D noise comps
+#
+# and run the three pipelines entirely in-kernel:
+#   phase3_states       filter states at every step (Fill params, streamed y/s)
+#   affine_phase1/2/3   prefix composition of time-varying affine-Gaussian
+#                       maps (the smoothing pass of a constructed posterior,
+#                       and prior marginals) — same 3-phase schedule as the
+#                       filter, affine combine needs no inversion.
+#
+# State/affine blocks stream as (rows, Lc, b_tile) with the step axis in the
+# middle so per-step slabs are lane-contiguous.
+
+
+def _state_plan(N, B, rows):
+    return stream_plan(N, B, requested_b=1024, rows=rows)
+
+
+def _phase3_states_kernel(p_ref, y_ref, s_ref, start_ref, out_ref, carry_ref,
+                          *, D, Lc, n_l):
+    A, a, Q, H, h = _unpack_params(p_ref, D)
+    l_id = pl.program_id(1)
+
+    @pl.when(l_id == 0)
+    def _():
+        m0, P0 = _read_state_rows(start_ref, D)
+        _write_state_rows(carry_ref, m0, P0, D)
+
+    m, P = _read_state_rows(carry_ref, D)
+
+    for l in range(Lc):
+        m, P, _lml = lanes.kalman_step(
+            m, P, A, a, Q, H, h, s_ref[l, :], y_ref[l, :]
+        )
+        for i in range(D):
+            out_ref[i, l, :] = m[i]
+        for r in range(D):
+            for c in range(D):
+                out_ref[D + r * D + c, l, :] = P[r][c]
+
+    _write_state_rows(carry_ref, m, P, D)
+
+
+def phase3_states(y_blocked, s_blocked, packed_params, starts, D, *, plan=None):
+    """Filtering state at EVERY step, component-major: (SD, L, B) with
+    out[:, l, b] the state after step b*L + l."""
+    L, B = y_blocked.shape
+    SD = D + D * D
+    if plan is None:
+        b_tile, Lc, L_plan = _state_plan(B * L, B, rows=2 + SD)
+        assert L == L_plan, (L, L_plan)
+    else:
+        b_tile, Lc = plan
+    assert L % Lc == 0 and B % b_tile == 0, (L, Lc, B, b_tile)
+    n_l = L // Lc
+    packed_params = packed_params.reshape(1, -1)
+    PK = packed_params.shape[1]
+    kernel = functools.partial(_phase3_states_kernel, D=D, Lc=Lc, n_l=n_l)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((SD, L, B), y_blocked.dtype),
+        grid=(B // b_tile, n_l),
+        in_specs=[
+            pl.BlockSpec((1, PK), lambda i, l: (_i32(0), _i32(0)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, b_tile), _im_stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SD, b_tile), _im_lane2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SD, Lc, b_tile), lambda i, l: (_i32(0), _i32(l), _i32(i)),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((SD, b_tile), y_blocked.dtype)],
+        interpret=_interpret(),
+    )(packed_params, y_blocked, s_blocked, starts)
+
+
+def _read_affine(ref, D, l):
+    DD = D * D
+    row = lambda kk: ref[kk, l, :]
+    A = tuple(tuple(row(r * D + c) for c in range(D)) for r in range(D))
+    b = tuple(row(DD + i) for i in range(D))
+    C = tuple(tuple(row(DD + D + r * D + c) for c in range(D)) for r in range(D))
+    return A, b, C
+
+
+def _affine_combine(e_i, e_j):
+    A = lanes.mm(e_j[0], e_i[0])
+    b = lanes.vadd(lanes.mv(e_j[0], e_i[1]), e_j[1])
+    C = lanes.madd(lanes.sym(lanes.mmT(lanes.mm(e_j[0], e_i[2]), e_j[0])), e_j[2])
+    return (A, b, C)
+
+
+def _write_affine_rows(ref, e, D):
+    A, b, C = e
+    DD = D * D
+    for r in range(D):
+        for c in range(D):
+            ref[r * D + c, :] = A[r][c]
+    for i in range(D):
+        ref[DD + i, :] = b[i]
+    for r in range(D):
+        for c in range(D):
+            ref[DD + D + r * D + c, :] = C[r][c]
+
+
+def _read_affine_rows(ref, D):
+    DD = D * D
+    row = lambda kk: ref[kk, :]
+    A = tuple(tuple(row(r * D + c) for c in range(D)) for r in range(D))
+    b = tuple(row(DD + i) for i in range(D))
+    C = tuple(tuple(row(DD + D + r * D + c) for c in range(D)) for r in range(D))
+    return A, b, C
+
+
+def _affine_phase1_kernel(p_ref, out_ref, carry_ref, *, D, Lc, n_l):
+    B_TILE = p_ref.shape[2]
+    dtype = p_ref.dtype
+    l_id = pl.program_id(1)
+    ones = jnp.ones((B_TILE,), dtype)
+    zeros = jnp.zeros((B_TILE,), dtype)
+
+    @pl.when(l_id == 0)
+    def _():
+        zmat = tuple(tuple(zeros for _ in range(D)) for _ in range(D))
+        _write_affine_rows(carry_ref, (lanes.eye(D, ones, zeros), (zeros,) * D, zmat), D)
+
+    carry = _read_affine_rows(carry_ref, D)
+    for l in range(Lc):
+        carry = _affine_combine(carry, _read_affine(p_ref, D, l))
+    _write_affine_rows(carry_ref, carry, D)
+
+    @pl.when(l_id == n_l - 1)
+    def _():
+        _write_affine_rows(out_ref, carry, D)
+
+
+def affine_phase1(params, D, *, plan=None):
+    """params (KT, L, B) time-varying affine maps -> (KT, B) block
+    aggregates. KT = 2*D*D + D."""
+    KT, L, B = params.shape
+    if plan is None:
+        b_tile, Lc, L_plan = _state_plan(B * L, B, rows=KT)
+        assert L == L_plan, (L, L_plan)
+    else:
+        b_tile, Lc = plan
+    assert L % Lc == 0 and B % b_tile == 0, (L, Lc, B, b_tile)
+    n_l = L // Lc
+    kernel = functools.partial(_affine_phase1_kernel, D=D, Lc=Lc, n_l=n_l)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((KT, B), params.dtype),
+        grid=(B // b_tile, n_l),
+        in_specs=[
+            pl.BlockSpec((KT, Lc, b_tile), lambda i, l: (_i32(0), _i32(l), _i32(i)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((KT, b_tile), _im_lane2, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((KT, b_tile), params.dtype)],
+        interpret=_interpret(),
+    )(params)
+
+
+def _affine_phase2_kernel(prior_ref, agg_ref, out_ref, *, D, B):
+    dtype = agg_ref.dtype
+    DD = D * D
+
+    def read_elem():
+        row = lambda kk: agg_ref[kk : kk + 1, :]
+        A = tuple(tuple(row(r * D + c) for c in range(D)) for r in range(D))
+        b = tuple(row(DD + i) for i in range(D))
+        C = tuple(tuple(row(DD + D + r * D + c) for c in range(D)) for r in range(D))
+        return (A, b, C)
+
+    def shift(e, s):
+        def sh(comp, idv):
+            fill = jnp.full((1, s), idv, dtype)
+            return jnp.concatenate([fill, comp[:, : B - s]], axis=1)
+
+        A, b, C = e
+        A_s = tuple(
+            tuple(sh(A[r][c], 1.0 if r == c else 0.0) for c in range(D))
+            for r in range(D)
+        )
+        b_s = tuple(sh(x, 0.0) for x in b)
+        C_s = tuple(tuple(sh(C[r][c], 0.0) for c in range(D)) for r in range(D))
+        return (A_s, b_s, C_s)
+
+    e = read_elem()
+    s = 1
+    while s < B:
+        e = _affine_combine(shift(e, s), e)
+        s *= 2
+    e = shift(e, 1)
+    zero = jnp.zeros((), dtype)
+    m0 = tuple(prior_ref[0, i] for i in range(D))
+    P0 = tuple(tuple(prior_ref[0, D + r * D + c] for c in range(D)) for r in range(D))
+    prior = (tuple(tuple(zero for _ in range(D)) for _ in range(D)), m0, P0)
+    _, b, C = _affine_combine(prior, e)
+    for i in range(D):
+        out_ref[i, :] = b[i][0, :]
+    for r in range(D):
+        for c in range(D):
+            out_ref[D + r * D + c, :] = C[r][c][0, :]
+
+
+def affine_phase2_starts(agg, x0_mean, x0_cov, D):
+    """(KT, B) aggregates + initial state -> (SD, B) block-start states."""
+    KT, B = agg.shape
+    SD = D + D * D
+    dtype = agg.dtype
+    prior = jnp.concatenate(
+        [jnp.ravel(x0_mean).astype(dtype), jnp.ravel(x0_cov).astype(dtype)]
+    ).reshape(1, SD)
+    kernel = functools.partial(_affine_phase2_kernel, D=D, B=B)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((SD, B), dtype),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, SD), _im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((KT, B), _im_const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SD, B), _im_const, memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(prior, agg)
+
+
+def _affine_phase3_kernel(p_ref, start_ref, out_ref, carry_ref, *, D, Lc, n_l):
+    l_id = pl.program_id(1)
+
+    @pl.when(l_id == 0)
+    def _():
+        m0, P0 = _read_state_rows(start_ref, D)
+        _write_state_rows(carry_ref, m0, P0, D)
+
+    m, P = _read_state_rows(carry_ref, D)
+    for l in range(Lc):
+        A, b, C = _read_affine(p_ref, D, l)
+        m = lanes.vadd(lanes.mv(A, m), b)
+        P = lanes.madd(lanes.sym(lanes.mmT(lanes.mm(A, P), A)), C)
+        for i in range(D):
+            out_ref[i, l, :] = m[i]
+        for r in range(D):
+            for c in range(D):
+                out_ref[D + r * D + c, l, :] = P[r][c]
+    _write_state_rows(carry_ref, m, P, D)
+
+
+def affine_phase3_states(params, starts, D, *, plan=None):
+    """Replay: states of the affine recursion at every step, (SD, L, B)."""
+    KT, L, B = params.shape
+    SD = D + D * D
+    if plan is None:
+        b_tile, Lc, L_plan = _state_plan(B * L, B, rows=KT + SD)
+        assert L == L_plan, (L, L_plan)
+    else:
+        b_tile, Lc = plan
+    assert L % Lc == 0 and B % b_tile == 0, (L, Lc, B, b_tile)
+    n_l = L // Lc
+    kernel = functools.partial(_affine_phase3_kernel, D=D, Lc=Lc, n_l=n_l)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((SD, L, B), params.dtype),
+        grid=(B // b_tile, n_l),
+        in_specs=[
+            pl.BlockSpec((KT, Lc, b_tile), lambda i, l: (_i32(0), _i32(l), _i32(i)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SD, b_tile), _im_lane2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SD, Lc, b_tile), lambda i, l: (_i32(0), _i32(l), _i32(i)),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((SD, b_tile), params.dtype)],
+        interpret=_interpret(),
+    )(params, starts)

@@ -76,3 +76,40 @@ def test_pallas_fwd_grad_matches_autodiff(rng):
     v_f, g_f = value_and_grad_fwd_lgssm(model_fn, y, n_blocks=4)(p0)
     np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref), rtol=1e-7, atol=1e-10)
+
+
+def test_pallas_posterior_pipeline_matches_sequential(rng):
+    """Component-major posterior pipeline (_posterior_pallas +
+    marginals_diag_pallas / latent_marginals_pallas) == sequential smoother."""
+    from model_test_utils import random_lgssm, random_obs
+    from temporalgps_tpu.models import marginals_diag, posterior
+    from temporalgps_tpu.ops import block
+
+    model = random_lgssm(
+        rng, kind="scalar", D=3, Dout=1, N=21, time_varying=False, forward=True
+    )
+    y = random_obs(rng, model)
+    post_ref = posterior(model, y, engine="sequential")
+    m_ref, v_ref = marginals_diag(post_ref, engine="sequential")
+
+    post_p = block._posterior_pallas(model, y, n_blocks=4)
+    m_p, v_p = marginals_diag(post_p, engine="sequential")
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_ref), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref), rtol=1e-6, atol=1e-9)
+
+    # smoothing pass through the affine Pallas pipeline on the reference post
+    m_a, v_a = block.marginals_diag_pallas(post_ref, n_blocks=4)
+    np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_ref), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_ref), rtol=1e-6, atol=1e-9)
+
+    # latent marginals (prior, forward model) through the affine pipeline
+    from temporalgps_tpu.models import latent_marginals
+
+    xs_ref = latent_marginals(model, engine="sequential")
+    xs_p = block.latent_marginals_pallas(model, n_blocks=4)
+    np.testing.assert_allclose(
+        np.asarray(xs_p.mean), np.asarray(xs_ref.mean), rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(xs_p.cov), np.asarray(xs_ref.cov), rtol=1e-6, atol=1e-9
+    )
