@@ -355,6 +355,11 @@ def _phase1_aggregates(blocked, B, D, dtype):
         elem = _step_element(sl, D, dtype)
         return None, assoc._combine_filter(carry, elem)
 
+    if D > 8:
+        # Reverse-mode through the phase scan would otherwise store every
+        # element-construction intermediate per step (~63GB at the DTC
+        # Nt=100k, D=30 workload); remat keeps only the carried element.
+        phase1_step = jax.checkpoint(phase1_step)
     _, agg = scan_emit(phase1_step, blocked, _identity_element(B, D, dtype))
     return agg
 
@@ -469,6 +474,8 @@ def chunk_logpdf_from_start(params_y, start: Gaussian, D, dtype, *, n_blocks=Non
         xf, lml = em.step_posterior_and_lml(xp, e, yt)
         return None, (xf, acc + lml)
 
+    if D > 8:
+        phase3_step = jax.checkpoint(phase3_step)  # see _phase1_aggregates
     init = (Gaussian(starts.mean[:-1], starts.cov[:-1]), jnp.zeros((B,), dtype))
     _, (_, lml_blocks) = scan_emit(phase3_step, blocked, init)
     total = jnp.sum(lml_blocks)
@@ -747,6 +754,8 @@ def _logpdf_xla(model, y, n_blocks=None, phase2=None):
             xf, lml = em.step_posterior_and_lml(xp, e, yt)
             return None, (xf, acc + lml)
 
+        if D > 8:
+            phase3_step = jax.checkpoint(phase3_step)  # see _phase1_aggregates
         init = (starts_head, jnp.zeros((B,), dtype))
         _, (_, lml_blocks) = scan_emit(phase3_step, blocked, init)
         total = jnp.sum(lml_blocks)
@@ -856,6 +865,8 @@ def affine_prefix_states(F, c, Q, x0_mean, x0_cov, *, n_blocks=None):
             comb = assoc._combine_affine if with_cov else assoc._combine_affine_mean
             return None, comb(carry, e)
 
+        if D > 8:
+            p1_step = jax.checkpoint(p1_step)  # see _phase1_aggregates
         params = (Fb, cb) + ((Qb,) if with_cov else ())
         _, agg = scan_emit(p1_step, params, _affine_identity(B, D, dtype, with_cov))
 
