@@ -46,17 +46,23 @@ def main():
     model = api.build_lgssm(fx)
 
     for eng in ["parallel", "block"]:
-        fn = jax.jit(
+        # Return a SCALAR so timing forces full execution (block_until_ready
+        # on unfetched big outputs under-reports on the tunneled backend).
+        def run(y_, e=eng):
+            m, v = lg.marginals_diag(lg.posterior(model, y_, engine=e), engine=e)
+            return jnp.sum(m) + jnp.sum(v)
+
+        fn = jax.jit(run)
+        dt, cs = timed(fn, y)
+        mv = jax.jit(
             lambda y_, e=eng: lg.marginals_diag(
                 lg.posterior(model, y_, engine=e), engine=e
             )
-        )
-        dt, cs = timed(fn, y)
-        m, v = fn(y)
+        )(y)
         print(
             f"posterior+marginals_diag[{eng}]: {dt*1e3:8.2f} ms "
             f"({N/dt/1e6:6.1f} Msteps/s) compile {cs:.0f}s "
-            f"m0={float(m[0]):.4f} vN={float(v[-1]):.4f}",
+            f"m0={float(mv[0][0]):.4f} vN={float(mv[1][-1]):.4f}",
             flush=True,
         )
 

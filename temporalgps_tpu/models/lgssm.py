@@ -130,6 +130,15 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None,
     cross the Pallas custom_vjp). `phase2="sqrt"` runs the block engine's
     cross-block combine in square-root form (ops/sqrt.py)."""
     engine = _resolve_engine(engine, model)
+    if engine == "lti":
+        from ..ops import lti
+
+        if not lti.supported(model):
+            raise ValueError(
+                "engine='lti' requires a forward model with all-Fill "
+                "(time-invariant) transition and emission parameters"
+            )
+        return lti.logpdf(model, y, n_blocks=n_blocks)
     if engine == "parallel":
         from ..ops import assoc
 
@@ -229,6 +238,12 @@ def marginals_diag(model: LGSSM, *, engine=None):
     """Observation-space marginal means and variance diagonals
     (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
     engine = _resolve_engine(engine, model)
+    if engine == "lti":
+        from ..ops import lti
+
+        if not lti.supported(model):
+            raise ValueError("engine='lti' requires an all-Fill forward model")
+        return lti.marginals_diag(model)
     if engine == "block" and isinstance(model.emis, em.ScalarEmissions):
         from ..ops import block
 
@@ -262,6 +277,12 @@ def marginals_diag(model: LGSSM, *, engine=None):
 def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Marginals of the latent chain itself (stacked Gaussian)."""
     engine = _resolve_engine(engine, model)
+    if engine == "lti":
+        from ..ops import lti
+
+        if not lti.supported(model):
+            raise ValueError("engine='lti' requires an all-Fill forward model")
+        return lti.latent_marginals(model)
     if engine in ("parallel", "block"):
         return _latent_marginals_engine(model, engine)
 

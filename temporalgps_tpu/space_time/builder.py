@@ -5,7 +5,7 @@ import jax.numpy as jnp
 from ..gp import kernels as K
 from ..gp.means import ConstMean, ZeroMean
 from ..models import LGSSM, DenseEmissions, GaussMarkov
-from ..utils.fill import is_fill
+from ..utils.fill import Fill, is_fill
 from . import grids
 from .to_gauss_markov import lgssm_components_spacetime
 
@@ -31,9 +31,22 @@ def build_lgssm_spacetime(fx) -> LGSSM:
     x = fx.x
 
     noise_flat = fx.noise
+    noise_fill = None  # per-time Fill when noise is homoscedastic on a grid
     if is_fill(noise_flat):
-        noise_flat = jnp.broadcast_to(noise_flat.value, (noise_flat.N,))
-    noise_tf = grids.noise_var_to_time_form(x, noise_flat)  # (Nt, Ns)
+        nv = noise_flat.value
+        if jnp.ndim(nv) == 0 and isinstance(x, grids.RectilinearGrid):
+            # Keep the per-time noise leaf a Fill: the whole emission stays
+            # time-invariant, enabling the lti engine (ops/lti.py) and O(1)
+            # HBM noise traffic in every engine.
+            noise_fill = Fill(
+                jnp.full((grids.n_space(x),), nv, dtype), grids.n_time(x)
+            )
+        noise_flat = jnp.broadcast_to(nv, (noise_flat.N,))
+    noise_tf = (
+        noise_fill
+        if noise_fill is not None
+        else grids.noise_var_to_time_form(x, noise_flat)
+    )  # (Nt, Ns) or Fill((Ns,), Nt)
 
     if _contains_dtc(kernel):
         from .pseudo_point import build_dtc_lgssm
@@ -54,6 +67,12 @@ def build_lgssm_spacetime(fx) -> LGSSM:
             "spatio-temporal models support ZeroMean/ConstMean mean functions"
         )
 
-    S_dense = noise_tf[..., None] * jnp.eye(noise_tf.shape[-1], dtype=dtype)
+    if is_fill(noise_tf):
+        Ns_ = noise_tf.value.shape[-1]
+        S_dense = Fill(
+            noise_tf.value[..., None] * jnp.eye(Ns_, dtype=dtype), noise_tf.N
+        )
+    else:
+        S_dense = noise_tf[..., None] * jnp.eye(noise_tf.shape[-1], dtype=dtype)
     emis = DenseEmissions(H=Hs, h=hs, S=S_dense)
     return LGSSM(GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True), emis)

@@ -204,7 +204,9 @@ def elbo(fx, y, z_r, *, engine=None):
     y_tf = grids.observations_to_time_form(fx.x, jnp.asarray(y))
     mask = jnp.isnan(y_tf)
 
-    Sigma = model.emis.s_diag  # (Nt, Dout), original noise
+    from ..utils.fill import tmaterialize
+
+    Sigma = tmaterialize(model.emis.s_diag)  # (Nt, Dout), original noise
     _, marg_v = lgssm_mod.marginals_diag(model, engine=engine)  # includes Sigma
     Cf_diag = kernel_diagonals(fx_dtc.f.f.kernel, fx_dtc.x, dtype)
 
@@ -213,7 +215,13 @@ def elbo(fx, y, z_r, *, engine=None):
     # marg includes Sigma, so this equals sum over *observed* entries of
     # (Cf - q)/Sigma (pseudo_point.jl:76-81).
     tmp = jnp.sum((Cf_diag - marg_v) / Sigma_filled, axis=-1) + jnp.sum(~mask, axis=-1)
-    lp = missings_mod.logpdf_with_missings(model, y_tf, engine=engine)
+    if engine == "lti":
+        # Time-invariant fast path (ops/lti.py): assumes fully-observed data
+        # (the large-variance missing fill would break Fill-ness; NaNs in y
+        # propagate loudly rather than being marginalised).
+        lp = lgssm_mod.logpdf(model, y_tf, engine="lti")
+    else:
+        lp = missings_mod.logpdf_with_missings(model, y_tf, engine=engine)
     return lp - 0.5 * jnp.sum(tmp)
 
 

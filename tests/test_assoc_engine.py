@@ -133,3 +133,42 @@ def test_logpdf_grad_match(rng):
 
     for a, b in zip(flat_par, flat_seq):
         np.testing.assert_allclose(canon(a), canon(b), rtol=1e-6, atol=1e-8)
+
+
+def test_element_dense_diag_matches_dense_path(rng):
+    """The input-space factorised element construction (element_dense_diag)
+    must equal the dense-S construction to f64 round-off for Large and
+    Bottleneck emissions."""
+    import jax.numpy as jnp
+
+    from temporalgps_tpu.ops import assoc
+    from temporalgps_tpu.utils import psd
+
+    for kind, Dout in [("large", 5), ("bottleneck", 4)]:
+        model = random_lgssm(
+            rng, kind=kind, D=3, Dout=Dout, N=6, time_varying=True, forward=True
+        )
+        y = random_obs(rng, model)
+        F_ev, c_ev, Q_ev, *_ , emis_it, y_it = assoc._iteration_view(model, y)
+        Hd, dd, s_diag = assoc._diag_emission_params(emis_it)
+        fast = assoc.element_dense_diag(F_ev, c_ev, Q_ev, Hd, dd, s_diag, y_it)
+
+        H, d, R = assoc._dense_emission_params(emis_it)
+        S = psd.symmetrize(H @ Q_ev @ jnp.swapaxes(H, -1, -2) + R)
+        Ls = psd.cholesky(S)
+        K = jnp.swapaxes(psd.chol_solve(Ls, H @ Q_ev), -1, -2)
+        I = jnp.eye(3, dtype=F_ev.dtype)
+        ImKH = I - K @ H
+        resid = y_it - (jnp.einsum("nij,nj->ni", H, c_ev) + d)
+        A_e = ImKH @ F_ev
+        b_e = c_ev + jnp.einsum("nij,nj->ni", K, resid)
+        C_e = psd.symmetrize(ImKH @ Q_ev)
+        HtSinv = jnp.swapaxes(psd.chol_solve(Ls, H), -1, -2)
+        FtH = jnp.swapaxes(F_ev, -1, -2) @ HtSinv
+        eta_e = jnp.einsum("nij,nj->ni", FtH, resid)
+        J_e = psd.symmetrize(FtH @ H @ F_ev)
+
+        for got, want in zip(fast, (A_e, b_e, C_e, eta_e, J_e)):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-8, atol=1e-9
+            )

@@ -1,0 +1,131 @@
+"""Time-invariant (ops/lti.py) engine vs sequential equivalence.
+
+The lti engine exploits that Fill-parameter models have a data-independent
+covariance recursion (constant-element powers) and a linear data path; it
+must reproduce the sequential engine to f64 round-off on every Fill model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from model_test_utils import random_lgssm, random_obs
+from temporalgps_tpu.models import (
+    latent_marginals,
+    logpdf,
+    marginals_diag,
+)
+from temporalgps_tpu.models import emissions as em
+from temporalgps_tpu.models.lgssm import LGSSM
+from temporalgps_tpu.ops import lti
+from temporalgps_tpu.utils.fill import Fill, is_fill
+
+
+def _fillify(model):
+    """Force every emission leaf to a Fill (the generators keep noise as a
+    per-step array even for time_varying=False)."""
+    N = len(model)
+
+    def go(l):
+        return l if is_fill(l) else Fill(jnp.asarray(l[0]), N)
+
+    return LGSSM(model.trans, jax.tree.map(go, model.emis, is_leaf=is_fill))
+
+
+CASES = [
+    dict(kind="scalar", D=3, Dout=1),
+    dict(kind="scalar", D=5, Dout=1),
+    dict(kind="large", D=3, Dout=5),
+    dict(kind="bottleneck", D=4, Dout=6),
+    dict(kind="dense", D=3, Dout=2),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"{c['kind']}-D{c['D']}")
+def test_lti_matches_sequential(rng, case):
+    model = _fillify(
+        random_lgssm(rng, N=13, time_varying=False, forward=True, **case)
+    )
+    assert lti.supported(model)
+    y = random_obs(rng, model)
+
+    ref = logpdf(model, y, engine="sequential")
+    got = logpdf(model, y, engine="lti", n_blocks=4)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-9)
+
+    xs_ref = latent_marginals(model, engine="sequential")
+    xs = latent_marginals(model, engine="lti")
+    np.testing.assert_allclose(
+        np.asarray(xs.mean), np.asarray(xs_ref.mean), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(xs.cov), np.asarray(xs_ref.cov), rtol=1e-9, atol=1e-12
+    )
+
+    m_ref, v_ref = marginals_diag(model, engine="sequential")
+    m, v = marginals_diag(model, engine="lti")
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-9, atol=1e-12)
+
+
+def test_lti_rejects_time_varying(rng):
+    model = random_lgssm(rng, kind="scalar", D=2, Dout=1, N=6, time_varying=True)
+    assert not lti.supported(model)
+    with pytest.raises(ValueError):
+        logpdf(model, random_obs(rng, model), engine="lti")
+
+
+def test_lti_grad_matches_sequential(rng):
+    """Hyperparameter gradients through the lti elbo path == sequential."""
+    from temporalgps_tpu import RegularSpacing
+    from temporalgps_tpu.gp import EQ, GP, ArrayStorage, Matern52, to_sde
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable, elbo
+
+    dtype = jnp.float64
+    M, Ns, Nt = 4, 7, 20
+    r = jnp.asarray(np.linspace(-3, 3, Ns), dtype)
+    z = jnp.asarray(np.linspace(-3, 3, M), dtype)
+    x = RectilinearGrid(
+        r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.05, dtype), Nt)
+    )
+    y = jnp.asarray(rng.standard_normal(Nt * Ns), dtype)
+
+    def loss(p, engine):
+        s2, sc, noise = jnp.exp(p)
+        kern = s2 * Separable(EQ().stretch(sc), Matern52())
+        fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
+        return elbo(fx, y, z, engine=engine)
+
+    p0 = jnp.asarray([0.1, -0.2, -2.0], dtype)
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(p, "sequential"))(p0)
+    v_lti, g_lti = jax.value_and_grad(lambda p: loss(p, "lti"))(p0)
+    np.testing.assert_allclose(float(v_lti), float(v_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_lti), np.asarray(g_ref), rtol=1e-6)
+
+
+def test_spacetime_grid_builders_stay_fill(rng):
+    """Grid builders with scalar noise must produce all-Fill models
+    (the lti premise); ragged/heteroscedastic stay per-step arrays."""
+    from temporalgps_tpu import RegularSpacing
+    from temporalgps_tpu.gp import EQ, GP, ArrayStorage, Matern52, to_sde
+    from temporalgps_tpu.gp.lti_sde import build_lgssm
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+    from temporalgps_tpu.space_time.pseudo_point import dtcify
+
+    dtype = jnp.float64
+    r = jnp.asarray(np.linspace(-3, 3, 5), dtype)
+    z = jnp.asarray(np.linspace(-3, 3, 3), dtype)
+    x = RectilinearGrid(
+        r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.05, dtype), 8)
+    )
+    kern = Separable(EQ().stretch(0.7), Matern52())
+    fx = to_sde(GP(kern), ArrayStorage(dtype))(x, jnp.asarray(0.1, dtype))
+    assert lti.supported(build_lgssm(fx))
+    assert lti.supported(build_lgssm(dtcify(z, fx)))
+    # heteroscedastic noise must NOT be a Fill
+    fx_h = to_sde(GP(kern), ArrayStorage(dtype))(
+        x, jnp.asarray(0.1 + 0.01 * np.arange(40), dtype)
+    )
+    assert not lti.supported(build_lgssm(fx_h))
