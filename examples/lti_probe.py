@@ -27,14 +27,19 @@ from temporalgps_tpu.space_time.pseudo_point import dtcify
 from temporalgps_tpu.models import lgssm as lg
 
 
+def _force(out):
+    """Fetch to host: block_until_ready does not force execution on the
+    tunneled backend (measured) — only a host transfer does."""
+    return jax.tree.map(lambda a: np.asarray(a).ravel()[0], out)
+
+
 def timed(fn, *args, iters=5):
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    _force(fn(*args))
     cs = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _force(fn(*args))
     return (time.perf_counter() - t0) / iters, cs
 
 

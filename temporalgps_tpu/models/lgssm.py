@@ -410,6 +410,12 @@ def posterior(model: LGSSM, y, *, engine=None) -> LGSSM:
     an LGSSM with reversed ordering whose x0 is the final filtering
     distribution (reference: src/models/lgssm.jl:193-228)."""
     engine = _resolve_engine(engine, model)
+    if engine == "lti":
+        from ..ops import lti
+
+        if not lti.supported(model):
+            raise ValueError("engine='lti' requires an all-Fill forward model")
+        return lti.posterior(model, y)
     if engine == "sqrt":
         from ..ops import sqrt
 

@@ -172,8 +172,10 @@ def _HtSinv_apply(ops, u):
     return u - jnp.einsum("...ji,...j->...i", ops["T"], Fi)
 
 
-def logpdf(model, y, *, n_blocks=None):
-    """lml of a Fill-parameter forward model; no missing data."""
+def _filter_pass(model, y, n_blocks=None):
+    """All filtering quantities of a Fill model: means/covs at every step,
+    predicted means/covs, and the emission-side operators. Shared by
+    logpdf and posterior."""
     from . import block as blk
 
     D = model.latent_dim
@@ -231,24 +233,71 @@ def logpdf(model, y, *, n_blocks=None):
     m_prev = jnp.concatenate([x0.mean[None].astype(dtype), means[:-1]], axis=0)
     m_pred = jnp.einsum("ij,nj->ni", A0, m_prev) + a0
 
+    out = dict(
+        y=y, dtype=dtype, scalar=scalar, trans0=(A0, a0, Q0),
+        e_single=e_single, means=means, m_prev=m_prev, m_pred=m_pred,
+        P_f=P_f, P_prev=P_prev, P_pred=P_pred,
+    )
+    if scalar:
+        out.update(H=H, h=h, s=s, Sv=Sv)
+    else:
+        out.update(
+            H_eff=H_eff, h_eff=h_eff, ops=ops,
+            R_inv_fn=R_inv_fn, logdetR=logdetR, quad_R=quad_R,
+        )
+    return out
+
+
+def logpdf(model, y, *, n_blocks=None):
+    """lml of a Fill-parameter forward model; no missing data."""
     import math
 
-    if scalar:
+    q = _filter_pass(model, y, n_blocks)
+    y, m_pred = q["y"], q["m_pred"]
+    if q["scalar"]:
+        H, h, Sv = q["H"], q["h"], q["Sv"]
         r = y - (jnp.einsum("i,ni->n", H, m_pred) + h)
-        lml = -0.5 * jnp.sum(
+        return -0.5 * jnp.sum(
             jnp.log(Sv) + r * r / Sv + math.log(2.0 * math.pi)
         )
-        return lml
+    H_eff, h_eff, ops = q["H_eff"], q["h_eff"], q["ops"]
     Dout = y.shape[-1]
     r = y - (jnp.einsum("ij,nj->ni", H_eff, m_pred) + h_eff)
-    ur = jnp.einsum("ji,...j->...i", R_inv_fn(H_eff), r)  # H'R^{-1} r
+    ur = jnp.einsum("ji,...j->...i", q["R_inv_fn"](H_eff), r)  # H'R^{-1} r
     v = jnp.einsum("nji,nj->ni", ops["Lpp"], ur)
     Fi = psd.chol_solve(ops["Lf"], v[..., None])[..., 0]
-    quad = quad_R(r) - jnp.sum(v * Fi, axis=-1)
-    lml = -0.5 * jnp.sum(
-        ops["logdetFm"] + logdetR + quad + Dout * math.log(2.0 * math.pi)
+    quad = q["quad_R"](r) - jnp.sum(v * Fi, axis=-1)
+    return -0.5 * jnp.sum(
+        ops["logdetFm"] + q["logdetR"] + quad + Dout * math.log(2.0 * math.pi)
     )
-    return lml
+
+
+def posterior(model, y, *, n_blocks=None):
+    """Smoother-as-Reverse-LGSSM for Fill models (reference semantics:
+    src/models/lgssm.jl:193-240): lti filter quantities + batched dynamics
+    inversion. The returned model's per-step transitions are arrays (the
+    reversed dynamics are position-dependent), so downstream drivers use
+    the generic engines on it."""
+    from ..config import POSTERIOR_JITTER
+    from ..models.gauss_markov import GaussMarkov
+    from ..models.lgssm import LGSSM
+
+    q = _filter_pass(model, y, n_blocks)
+    A0, _, _ = q["trans0"]
+    m_prev, P_prev = q["m_prev"], q["P_prev"]
+    m_pred, P_pred = q["m_pred"], q["P_pred"]
+
+    Ppj = psd.add_jitter(P_pred, POSTERIOR_JITTER)
+    # gain G = P_prev A' Ppj^{-1}; reversed dynamics as in _invert_dynamics
+    Lp = psd.cholesky(Ppj)
+    G = _mT(psd.chol_solve(Lp, A0 @ P_prev))       # (N, D, D)
+    a_rev = m_prev - jnp.einsum("nij,nj->ni", G, m_pred)
+    Q_rev = psd.symmetrize(P_prev - G @ (A0 @ P_prev))
+    x_last = Gaussian(q["means"][-1], psd.symmetrize(q["P_f"][-1]))
+    new_trans = GaussMarkov(
+        As=G, offs=a_rev, Qs=Q_rev, x0=x_last, forward=False
+    )
+    return LGSSM(new_trans, model.emis)
 
 
 def _effective_emission(e_single):

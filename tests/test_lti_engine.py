@@ -129,3 +129,21 @@ def test_spacetime_grid_builders_stay_fill(rng):
         x, jnp.asarray(0.1 + 0.01 * np.arange(40), dtype)
     )
     assert not lti.supported(build_lgssm(fx_h))
+
+
+def test_lti_posterior_matches_sequential(rng):
+    """lti posterior (smoother-as-Reverse-LGSSM) == sequential posterior."""
+    from temporalgps_tpu.models import posterior
+
+    for case in [dict(kind="scalar", D=3, Dout=1),
+                 dict(kind="bottleneck", D=4, Dout=6)]:
+        model = _fillify(
+            random_lgssm(rng, N=14, time_varying=False, forward=True, **case)
+        )
+        y = random_obs(rng, model)
+        post_ref = posterior(model, y, engine="sequential")
+        m_ref, v_ref = marginals_diag(post_ref, engine="sequential")
+        post = posterior(model, y, engine="lti")
+        m, v = marginals_diag(post, engine="sequential")
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-7, atol=1e-9)
