@@ -24,13 +24,14 @@ from temporalgps_tpu.models import lgssm as lg
 
 
 def timed(fn, *args, iters=5):
+    """Host-fetch each iteration: block_until_ready does not force
+    execution on the tunneled backend (see CLAUDE.md perf notes)."""
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    float(np.asarray(fn(*args)).ravel()[0])
     cs = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        float(np.asarray(fn(*args)).ravel()[0])
     return (time.perf_counter() - t0) / iters, cs
 
 

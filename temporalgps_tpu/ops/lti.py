@@ -189,7 +189,11 @@ def _filter_pass(model, y, n_blocks=None):
         B //= 2
     y = jnp.asarray(y, dtype)
 
-    P_f, e0, (A0, a0, Q0), e_single = _cov_pass(model, N, B, dtype)
+    # Remat the covariance pass: its forward is cheap (data-free batched
+    # combines) while its reverse residuals are several (N, D, D) tensors.
+    P_f, e0, (A0, a0, Q0), e_single = jax.checkpoint(
+        lambda m: _cov_pass(m, N, B, dtype), static_argnums=()
+    )(model)
     P_prev = jnp.concatenate(
         [psd.symmetrize(x0.cov)[None].astype(dtype), P_f[:-1]], axis=0
     )

@@ -158,9 +158,34 @@ def _tri_solve_unrolled(L, B, D: int, lower: bool, trans: bool):
 import functools as _functools
 
 
+def _tri_solve_rows(L, B, D: int, lower: bool, trans: bool):
+    """Row-vectorised substitution: O(D) traced ops (one einsum per row)
+    instead of the O(D^2) per-entry unroll — keeps compile times sane at
+    D ~ 30-48 while staying pure elementwise/VPU at runtime."""
+    batch = jnp.broadcast_shapes(L.shape[:-2], B.shape[:-2])
+    L = jnp.broadcast_to(L, batch + L.shape[-2:])
+    B = jnp.broadcast_to(B, batch + B.shape[-2:])
+    # op(L) is lower-triangular (forward substitution) iff lower != trans
+    forward = lower != trans
+    order = range(D) if forward else range(D - 1, -1, -1)
+    xs = {}
+    for n, i in enumerate(order):
+        s = B[..., i, :]
+        if n:
+            js = slice(0, i) if forward else slice(i + 1, D)
+            c = L[..., js, i] if trans else L[..., i, js]
+            prev = jnp.stack(
+                [xs[j] for j in (range(i) if forward else range(i + 1, D))],
+                axis=-2,
+            )
+            s = s - jnp.einsum("...k,...kj->...j", c, prev)
+        xs[i] = s / L[..., i, i][..., None]
+    return jnp.stack([xs[i] for i in range(D)], axis=-2)
+
+
 @_functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3))
 def _tri_solve_mid(L, B, lower, trans):
-    return _tri_solve_unrolled(L, B, L.shape[-1], lower, trans)
+    return _tri_solve_rows(L, B, L.shape[-1], lower, trans)
 
 
 @_tri_solve_mid.defjvp
