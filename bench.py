@@ -35,15 +35,43 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, iters=5):
+_RT_FLOOR = None  # host round-trip floor, measured once
+
+
+def _roundtrip_floor():
+    global _RT_FLOOR
+    if _RT_FLOOR is None:
+        import jax.numpy as _jnp
+
+        f = jax.jit(lambda x: x + 1.0)
+        z = jnp.zeros(())
+        float(f(z))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(f(z))
+        _RT_FLOOR = (time.perf_counter() - t0) / 10
+        log(f"host round-trip floor: {_RT_FLOOR*1e3:.2f} ms")
+    return _RT_FLOOR
+
+
+def timed(fn, *args, iters=50):
+    """Amortised device timing for the tunneled axon backend:
+    block_until_ready does not force execution (see CLAUDE.md), and a
+    per-iteration host fetch costs a ~27 ms round trip — so enqueue `iters`
+    executions (FIFO on device) and fetch ONLY the final scalar; per-iter
+    time is (elapsed - one round-trip floor) / iters."""
+    floor = _roundtrip_floor()
     t0 = time.perf_counter()
-    fn(*args).block_until_ready()
+    out = fn(*args)
+    float(out)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters, compile_s, out
+    for _ in range(iters - 1):
+        fn(*args)
+    out = fn(*args)
+    float(out)
+    dt = max((time.perf_counter() - t0 - floor) / iters, 1e-9)
+    return dt, compile_s, out
 
 
 def main():
@@ -85,7 +113,7 @@ def main():
     grad_block = jax.jit(
         lambda p, y_: value_and_grad_fwd_lgssm(model_fn, y_)(p)[1][0]
     )
-    dt_block, cs, _ = timed(grad_block, p0, y, iters=10)
+    dt_block, cs, _ = timed(grad_block, p0, y, iters=50)
     steps_per_sec = N / dt_block
     log(f"block lp+grad(fwd) N={N}: {dt_block*1e3:.2f} ms ({steps_per_sec/1e6:.2f} Msteps/s), compile {cs:.0f}s")
 
@@ -94,7 +122,7 @@ def main():
         build_lgssm(to_sde(GP(Matern52()), ArrayStorage(dtype))(x, jnp.asarray(0.1, dtype))),
         y_, engine="block",
     ))
-    dt_f, cs_f, _ = timed(lp_fast, y, iters=10)
+    dt_f, cs_f, _ = timed(lp_fast, y, iters=100)
     log(f"block logpdf N={N}: {dt_f*1e3:.2f} ms ({N/dt_f/1e6:.1f} Msteps/s), compile {cs_f:.0f}s")
 
     # Baseline stand-in: sequential engine per-step rate at N=20k.
@@ -104,7 +132,7 @@ def main():
     grad_seq = jax.jit(
         lambda p, y_: jax.value_and_grad(make_loss(x_s, "sequential"))(p, y_)[1][0]
     )
-    dt_seq, cs_seq, _ = timed(grad_seq, p0, y_s, iters=2)
+    dt_seq, cs_seq, _ = timed(grad_seq, p0, y_s, iters=3)
     seq_steps_per_sec = N_seq / dt_seq
     log(f"seq lp+grad N={N_seq}: {dt_seq*1e3:.2f} ms ({seq_steps_per_sec/1e6:.3f} Msteps/s), compile {cs_seq:.0f}s")
 

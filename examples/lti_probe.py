@@ -74,9 +74,13 @@ def main():
             f"({Ns*Nt/dt/1e6:6.1f} Mobs/s) compile {cs:.0f}s val={vals[engine]:.1f}",
             flush=True,
         )
-        g = jax.jit(jax.value_and_grad(lambda p, y_, e=engine: elbo_fn(p, y_, e)))
-        dt, cs = timed(g, p0, y, iters=3)
-        print(f"DTC elbo+grad [{engine}]: {dt*1e3:8.2f} ms compile {cs:.0f}s", flush=True)
+        if engine != "lti":
+            # reverse-mode through the lti pipeline produces a
+            # compile-prohibitive HLO on the remote service (>85 min);
+            # the block engine is the DTC gradient path.
+            g = jax.jit(jax.value_and_grad(lambda p, y_, e=engine: elbo_fn(p, y_, e)))
+            dt, cs = timed(g, p0, y, iters=3)
+            print(f"DTC elbo+grad [{engine}]: {dt*1e3:8.2f} ms compile {cs:.0f}s", flush=True)
     rel = abs(vals["lti"] - vals["sequential"]) / abs(vals["sequential"])
     print(f"lti-vs-seq elbo rel: {rel:.2e}", flush=True)
 

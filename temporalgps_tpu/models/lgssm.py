@@ -85,6 +85,25 @@ def _resolve_engine(engine, model=None):
     return "sequential"
 
 
+def _auto_lti(model) -> bool:
+    """Auto-select the lti engine for DATA-FREE drivers (marginals): the
+    time-invariant vector-emission models at moderate state dims (the DTC
+    grid family) run fastest on the constant-element-power engine (v5e,
+    D=30 Nt=100k elbo: 573 ms vs 1925 sequential — mostly from this
+    marginals path). It NaNs past the f32 conditioning cliff at D ~ 150
+    and loses to the Pallas block path at tiny D — gate to 4 < D <= 48.
+    logpdf keeps lti opt-in only: its reverse-mode HLO is
+    compile-prohibitive, which would trap jax.grad users."""
+    from ..ops import lti
+
+    return (
+        jax.default_backend() == "tpu"
+        and lti.supported(model)
+        and not isinstance(model.emis, em.ScalarEmissions)
+        and 4 < model.latent_dim <= 48
+    )
+
+
 
 
 def _with_precision(model_arg=0):
@@ -163,6 +182,10 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None,
         xp = lgc.predict(xf, A, a, Q)
         return lml, xp
 
+    if model.latent_dim > 8:
+        # big-state reverse-mode residuals (per-step innovation factors
+        # etc.) otherwise exceed HBM at N ~ 1e5; store only the carry.
+        step = jax.checkpoint(step)
     lmls, _ = scan_emit(
         step, (_step_params(model), y), model.trans.x0,
         reverse=not model.trans.forward,
@@ -237,6 +260,8 @@ def marginals(model: LGSSM, *, engine=None) -> Gaussian:
 def marginals_diag(model: LGSSM, *, engine=None):
     """Observation-space marginal means and variance diagonals
     (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
+    if engine is None and _auto_lti(model):
+        engine = "lti"
     engine = _resolve_engine(engine, model)
     if engine == "lti":
         from ..ops import lti
@@ -276,6 +301,8 @@ def marginals_diag(model: LGSSM, *, engine=None):
 @_with_precision()
 def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Marginals of the latent chain itself (stacked Gaussian)."""
+    if engine is None and _auto_lti(model):
+        engine = "lti"
     engine = _resolve_engine(engine, model)
     if engine == "lti":
         from ..ops import lti

@@ -109,13 +109,26 @@ def _chol_mid_jvp(primals, tangents):
     return L, L @ Phi
 
 
+# The unrolled mid-D paths only pay off for FAT batches (their many small
+# ops are a dispatch/HLO tax in sequential scans — measured: the DTC
+# sequential engine regressed 1.9 s -> 9.4 s when they ran per-step).
+_UNROLL_MIN_BATCH = 256
+
+
+def _batch_elems(*shapes) -> int:
+    import numpy as _np
+
+    batch = jnp.broadcast_shapes(*[s[:-2] for s in shapes])
+    return int(_np.prod(batch)) if batch else 1
+
+
 def cholesky(P):
     """Lower Cholesky factor, batched; unrolled for moderate D (see
-    _chol_unrolled_col), closed-form for D <= 4."""
+    _chol_unrolled_col) when the batch is fat, closed-form for D <= 4."""
     D = P.shape[-1]
     if D <= 4:
         return _chol_unrolled(P, D)
-    if D <= _UNROLL_MAX_D:
+    if D <= _UNROLL_MAX_D and _batch_elems(P.shape) >= _UNROLL_MIN_BATCH:
         return _chol_mid(P)
     return jnp.linalg.cholesky(P)
 
@@ -207,7 +220,7 @@ def tri_solve(L, B, *, lower=True, trans=False):
     D = L.shape[-1]
     if D <= 4:
         return _tri_solve_unrolled(L, B, D, lower, trans)
-    if D <= _UNROLL_MAX_D:
+    if D <= _UNROLL_MAX_D and _batch_elems(L.shape, B.shape) >= _UNROLL_MIN_BATCH:
         return _tri_solve_mid(L, B, lower, trans)
     # jax.scipy.solve_triangular does not numpy-broadcast mismatched batch
     # dims (e.g. block-batched L (B,D,D) vs time-invariant Fill rhs (D,K));
