@@ -22,15 +22,36 @@ from temporalgps_tpu.learning import value_and_grad_fwd_lgssm
 from temporalgps_tpu.models import lgssm as lg
 
 
-def timed(fn, *args, iters=5):
+_FLOOR = None
+
+
+def _floor():
+    global _FLOOR
+    if _FLOOR is None:
+        f = jax.jit(lambda x: x + 1.0)
+        z = jnp.zeros(())
+        float(f(z))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(f(z))
+        _FLOOR = (time.perf_counter() - t0) / 10
+        print(f"host round-trip floor: {_FLOOR*1e3:.2f} ms", flush=True)
+    return _FLOOR
+
+
+def timed(fn, *args, iters=30):
+    """Amortised: enqueue iters, fetch final scalar once (see bench.py)."""
+    fl = _floor()
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    jax.tree.map(lambda a: float(jnp.ravel(a)[0]), out)
     cs = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, cs
+    for _ in range(iters - 1):
+        fn(*args)
+    out = fn(*args)
+    jax.tree.map(lambda a: float(jnp.ravel(a)[0]), out)
+    return max((time.perf_counter() - t0 - fl) / iters, 1e-9), cs
 
 
 def main():
