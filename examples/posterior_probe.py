@@ -23,16 +23,34 @@ from temporalgps_tpu.gp import lti_sde as api
 from temporalgps_tpu.models import lgssm as lg
 
 
-def timed(fn, *args, iters=5):
-    """Host-fetch each iteration: block_until_ready does not force
-    execution on the tunneled backend (see CLAUDE.md perf notes)."""
+_FLOOR = None
+
+
+def _floor():
+    global _FLOOR
+    if _FLOOR is None:
+        f = jax.jit(lambda x: x + 1.0)
+        z = jnp.zeros(())
+        float(f(z))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(f(z))
+        _FLOOR = (time.perf_counter() - t0) / 10
+        print(f"host round-trip floor: {_FLOOR*1e3:.2f} ms", flush=True)
+    return _FLOOR
+
+
+def timed(fn, *args, iters=30):
+    """Amortised: enqueue iters, fetch the final scalar once (bench.py)."""
+    fl = _floor()
     t0 = time.perf_counter()
     float(np.asarray(fn(*args)).ravel()[0])
     cs = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        float(np.asarray(fn(*args)).ravel()[0])
-    return (time.perf_counter() - t0) / iters, cs
+    for _ in range(iters - 1):
+        fn(*args)
+    float(np.asarray(fn(*args)).ravel()[0])
+    return max((time.perf_counter() - t0 - fl) / iters, 1e-9), cs
 
 
 def main():
