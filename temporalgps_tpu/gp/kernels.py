@@ -281,6 +281,20 @@ def _besseli_scaled(n: int, x, terms: int = 60):
     return out
 
 
+def has_deterministic_component(k) -> bool:
+    """True when the kernel's SDE has zero-diffusion state blocks (Cosine /
+    Constant / ApproxPeriodic, reference: lti_sde.jl:239-320): their
+    information accumulates without bound, which the covariance-form
+    parallel element algebra cannot represent stably in f32 at large N."""
+    if isinstance(k, (Cosine, Constant, ApproxPeriodic)):
+        return True
+    if isinstance(k, (Scaled, Stretched)):
+        return has_deterministic_component(k.kernel)
+    if isinstance(k, (Sum, Product)):
+        return any(has_deterministic_component(c) for c in k.kernels)
+    return False
+
+
 def sde_atoms(k: Kernel, dtype=jnp.float64) -> SDEAtoms:
     """Recursive SDE construction. Matern/Cosine/Constant constants follow the
     standard Matern state-space results (reference: src/gp/lti_sde.jl:189-250,

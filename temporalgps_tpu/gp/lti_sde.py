@@ -156,9 +156,18 @@ def broadcast_components(atoms: K.SDEAtoms, x, dtype):
     P = psd.symmetrize(atoms.P_inf).astype(hi)
     D = P.shape[-1]
     N = num_times(x)
+    # f32 storage: floor the process noise at a dtype-scaled fraction of the
+    # stationary covariance. Deterministic blocks (Cosine/Constant/
+    # ApproxPeriodic rotations) have Q = 0 exactly; in f32 the recursion's
+    # per-step round-off (~1e-7 |P|) then accumulates with nothing to damp
+    # it and the filter covariance drifts indefinite — measured: EVERY
+    # engine NaNs on a Matern+ApproxPeriodic sum at N=1e6 f32. A floor of
+    # 1e-5 P_inf dominates the round-off while perturbing the model far
+    # below f32 observation accuracy (f64 storage keeps Q exact).
+    q_floor = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1e-5
     if isinstance(x, RegularSpacing):
         A = atoms.transition(jnp.asarray(x.dt, hi)).astype(hi)
-        Q = psd.symmetrize(P - A @ P @ A.T)
+        Q = psd.symmetrize(P - A @ P @ A.T) + q_floor * P
         As = Fill(A.astype(dtype), N)
         Qs = Fill(Q.astype(dtype), N)
     else:
@@ -168,7 +177,10 @@ def broadcast_components(atoms: K.SDEAtoms, x, dtype):
         # (reference: src/gp/lti_sde.jl:140).
         dts = jnp.concatenate([jnp.ones((1,), hi), jnp.diff(t)])
         As_hi = atoms.transition(dts).astype(hi)  # (N, D, D) in one fused batch
-        Qs = psd.symmetrize(P - As_hi @ P @ jnp.swapaxes(As_hi, -1, -2)).astype(dtype)
+        Qs = (
+            psd.symmetrize(P - As_hi @ P @ jnp.swapaxes(As_hi, -1, -2))
+            + q_floor * P
+        ).astype(dtype)
         As = As_hi.astype(dtype)
     offs = Fill(jnp.zeros(D, dtype), N)
     Hs = Fill(atoms.H.astype(dtype), N)
@@ -247,7 +259,14 @@ def build_lgssm(fx: FiniteLTISDE) -> LGSSM:
     N = num_times(fx.x)
     hs = _add_mean_to_hs(hs, f.f.mean, fx.x, dtype, N)
     emis = ScalarEmissions(H=Hs, h=hs, s=fx.noise)
-    return LGSSM(GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True), emis)
+    from . import kernels as K
+
+    det = K.has_deterministic_component(f.f.kernel)
+    return LGSSM(
+        GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True,
+                    det_blocks=det),
+        emis,
+    )
 
 
 # ---------------------------------------------------------------------------

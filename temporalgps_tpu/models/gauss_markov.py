@@ -19,13 +19,20 @@ from ..utils.gaussian import Gaussian
 from ..utils.pytrees import pytree_dataclass
 
 
-@pytree_dataclass(static_fields=("forward",))
+@pytree_dataclass(static_fields=("forward", "det_blocks"))
 class GaussMarkov:
     As: Any    # (N, D, D) or Fill((D, D))
     offs: Any  # (N, D) or Fill((D,))
     Qs: Any    # (N, D, D) or Fill((D, D))
     x0: Gaussian
     forward: bool = True
+    # True when some state blocks have (near-)zero process noise (Cosine /
+    # Constant / ApproxPeriodic components, reference: lti_sde.jl:239-320):
+    # the parallel element algebra's information component J grows without
+    # bound along such directions and the covariance-form combine NaNs in
+    # f32 at large N — engine auto-selection must avoid it (measured: the
+    # block engine NaNs on a D=19 Matern+ApproxPeriodic sum at N=1e6 f32).
+    det_blocks: bool = False
 
     def __len__(self):
         return time_length((self.As, self.offs, self.Qs))

@@ -79,8 +79,15 @@ def _resolve_engine(engine, model=None):
         # per-step compute). Measured on v5e: D=3 scalar 210 Msteps/s vs
         # 0.05 sequential; but D=150 spatio-temporal 141 ms vs 25 ms
         # sequential (the element algebra's ~3x flops in D^3 ops loses once
-        # compute dominates). Crossover is around D ~ 32.
-        if block._supports(model) and model.latent_dim <= 32:
+        # compute dominates). Crossover is around D ~ 32. Models with
+        # deterministic-diffusion blocks (Cosine/Constant/ApproxPeriodic)
+        # stay sequential: their unbounded information growth NaNs the
+        # covariance-form element combine in f32 (measured at D=19, N=1e6).
+        if (
+            block._supports(model)
+            and model.latent_dim <= 32
+            and not model.trans.det_blocks
+        ):
             return "block"
     return "sequential"
 
@@ -473,6 +480,8 @@ def posterior(model: LGSSM, y, *, engine=None) -> LGSSM:
     )
     As_rev, as_rev, Qs_rev = new_dyn
     new_trans = GaussMarkov(
-        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last, forward=not model.trans.forward
+        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last,
+        forward=not model.trans.forward,
+        det_blocks=model.trans.det_blocks,
     )
     return LGSSM(new_trans, model.emis)

@@ -392,6 +392,8 @@ def posterior(model, y, *, engine="parallel"):
 
     As_rev, as_rev, Qs_rev = _unflip(model, new_dyn)
     new_trans = GaussMarkov(
-        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last, forward=not model.trans.forward
+        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last,
+        forward=not model.trans.forward,
+        det_blocks=model.trans.det_blocks,
     )
     return LGSSM(new_trans, model.emis)

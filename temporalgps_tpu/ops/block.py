@@ -1045,6 +1045,7 @@ def _posterior_pallas(model, y, n_blocks=None):
         Qs=lanes.mat_to_array(Q_rev),
         x0=x_last,
         forward=False,
+        det_blocks=model.trans.det_blocks,
     )
     return LGSSM(new_trans, model.emis)
 

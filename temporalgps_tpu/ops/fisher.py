@@ -146,6 +146,7 @@ def fisher_cotangents(model, y, g, *, engine="parallel"):
         Qs=like(model.trans.Qs, dQ),
         x0=Gaussian(g * dm0, g * dP0),
         forward=model.trans.forward,
+        det_blocks=model.trans.det_blocks,
     )
     emis_bar = em.ScalarEmissions(
         H=like(e.H, dH), h=like(e.h, dh), s=like(e.s, ds)

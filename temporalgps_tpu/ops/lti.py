@@ -299,7 +299,8 @@ def posterior(model, y, *, n_blocks=None):
     Q_rev = psd.symmetrize(P_prev - G @ (A0 @ P_prev))
     x_last = Gaussian(q["means"][-1], psd.symmetrize(q["P_f"][-1]))
     new_trans = GaussMarkov(
-        As=G, offs=a_rev, Qs=Q_rev, x0=x_last, forward=False
+        As=G, offs=a_rev, Qs=Q_rev, x0=x_last, forward=False,
+        det_blocks=model.trans.det_blocks,
     )
     return LGSSM(new_trans, model.emis)
 

@@ -254,6 +254,8 @@ def posterior(model, y):
 
     As_rev, as_rev, Qs_rev = assoc._unflip(model, new_dyn)
     new_trans = GaussMarkov(
-        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last, forward=not model.trans.forward
+        As=As_rev, offs=as_rev, Qs=Qs_rev, x0=x_last,
+        forward=not model.trans.forward,
+        det_blocks=model.trans.det_blocks,
     )
     return LGSSM(new_trans, model.emis)

@@ -67,6 +67,7 @@ def build_lgssm_spacetime(fx) -> LGSSM:
             "spatio-temporal models support ZeroMean/ConstMean mean functions"
         )
 
+    det = _temporal_det(kernel)
     if is_fill(noise_tf):
         Ns_ = noise_tf.value.shape[-1]
         S_dense = Fill(
@@ -75,4 +76,24 @@ def build_lgssm_spacetime(fx) -> LGSSM:
     else:
         S_dense = noise_tf[..., None] * jnp.eye(noise_tf.shape[-1], dtype=dtype)
     emis = DenseEmissions(H=Hs, h=hs, S=S_dense)
-    return LGSSM(GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True), emis)
+    return LGSSM(
+        GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True,
+                    det_blocks=det),
+        emis,
+    )
+
+
+def _temporal_det(kernel) -> bool:
+    """Deterministic-diffusion flag of the TEMPORAL part of a
+    spatio-temporal kernel tree."""
+    from .pseudo_point import DTCSeparable
+    from .separable import Separable
+
+    if isinstance(kernel, (Separable, DTCSeparable)):
+        sep = kernel.k if isinstance(kernel, DTCSeparable) else kernel
+        return K.has_deterministic_component(sep.r)
+    if isinstance(kernel, K.Scaled):
+        return _temporal_det(kernel.kernel)
+    if isinstance(kernel, (K.Sum, K.Product)):
+        return any(_temporal_det(c) for c in kernel.kernels)
+    return False

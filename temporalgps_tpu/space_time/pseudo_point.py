@@ -159,7 +159,13 @@ def build_dtc_lgssm(kernel, x, noise_tf, mean_fn, dtype) -> LGSSM:
         raise NotImplementedError("pseudo-point inference assumes a zero mean")
     As, offs, Qs, (Cs, cs, Hs, hs), x0 = lgssm_components_dtc(kernel, x, dtype)
     emis = BottleneckEmissions(H=Hs, h=hs, C=Cs, c=cs, s_diag=noise_tf)
-    return LGSSM(GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True), emis)
+    from .builder import _temporal_det
+
+    return LGSSM(
+        GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=True,
+                    det_blocks=_temporal_det(kernel)),
+        emis,
+    )
 
 
 # ---------------------------------------------------------------------------
