@@ -142,7 +142,7 @@ def _combine_leaves(fn, leaves, N):
     return jax.vmap(fn)(*mat)
 
 
-def broadcast_components(atoms: K.SDEAtoms, x, dtype):
+def broadcast_components(atoms: K.SDEAtoms, x, dtype, det: bool = False):
     """Discretise the SDE over the time grid
     (reference: src/gp/lti_sde.jl:135-160).
 
@@ -163,8 +163,12 @@ def broadcast_components(atoms: K.SDEAtoms, x, dtype):
     # it and the filter covariance drifts indefinite — measured: EVERY
     # engine NaNs on a Matern+ApproxPeriodic sum at N=1e6 f32. A floor of
     # 1e-5 P_inf dominates the round-off while perturbing the model far
-    # below f32 observation accuracy (f64 storage keeps Q exact).
-    q_floor = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1e-5
+    # below f32 observation accuracy. Applied ONLY to deterministic atoms
+    # (det=True, per Sum child) so Matern-family f32 models keep the exact
+    # discretised Q; f64 storage is always exact.
+    q_floor = (
+        0.0 if (jnp.dtype(dtype).itemsize >= 8 or not det) else 1e-5
+    )
     if isinstance(x, RegularSpacing):
         A = atoms.transition(jnp.asarray(x.dt, hi)).astype(hi)
         Q = psd.symmetrize(P - A @ P @ A.T) + q_floor * P
@@ -224,7 +228,9 @@ def lgssm_components(kernel, x, dtype):
     # Atoms are always built in float64 (discretisation accuracy); the
     # storage dtype is applied by broadcast_components.
     atoms = K.sde_atoms(kernel, jnp.float64)
-    As, offs, Qs, Hs, hs = broadcast_components(atoms, x, dtype)
+    As, offs, Qs, Hs, hs = broadcast_components(
+        atoms, x, dtype, det=K.has_deterministic_component(kernel)
+    )
     x0 = Gaussian(
         jnp.zeros(atoms.P_inf.shape[-1], dtype),
         psd.symmetrize(atoms.P_inf).astype(dtype),
