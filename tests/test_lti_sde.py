@@ -154,3 +154,53 @@ def test_gradients_logpdf_hyperparams(rng):
         d[i] = eps
         fd = (loss(p0 + d) - loss(p0 - d)) / (2 * eps)
         np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4, atol=1e-6)
+
+
+def test_deterministic_block_flag_and_f32_noise_floor():
+    """Kernels with zero-diffusion atoms set GaussMarkov.det_blocks, and f32
+    storage floors ONLY their process noise (Materns stay exact; f64 always
+    exact). Regression for the all-engine NaN at D=19, N=1e6 f32."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from temporalgps_tpu import RegularSpacing
+    from temporalgps_tpu.gp import (
+        GP,
+        ApproxPeriodic,
+        ArrayStorage,
+        Cosine,
+        Matern52,
+        to_sde,
+    )
+    from temporalgps_tpu.gp import kernels as K
+    from temporalgps_tpu.gp.lti_sde import build_lgssm
+
+    assert K.has_deterministic_component(Cosine())
+    assert K.has_deterministic_component(Matern52() + 0.3 * ApproxPeriodic(0.5))
+    assert not K.has_deterministic_component(Matern52() + Matern52().stretch(2.0))
+
+    x32 = RegularSpacing(jnp.asarray(0.0, jnp.float32), jnp.asarray(0.01, jnp.float32), 16)
+    x64 = RegularSpacing(0.0, 0.01, 16)
+    ksum = Matern52() + 0.3 * ApproxPeriodic(0.5)
+
+    m = build_lgssm(to_sde(GP(ksum), ArrayStorage(jnp.float32))(x32, jnp.asarray(0.1, jnp.float32)))
+    assert m.trans.det_blocks
+    Q = np.asarray(m.trans.Qs.value)
+    # periodic blocks (trailing) floored strictly positive; Matern block
+    # keeps its (tiny but unfloored) leading diagonal
+    assert np.diag(Q)[-1] > 0
+    m_mat = build_lgssm(
+        to_sde(GP(Matern52()), ArrayStorage(jnp.float32))(x32, jnp.asarray(0.1, jnp.float32))
+    )
+    assert not m_mat.trans.det_blocks
+    m64_mat = build_lgssm(to_sde(GP(Matern52()), ArrayStorage(jnp.float64))(x64, jnp.asarray(0.1)))
+    # f32 Matern Q equals the f64 discretisation cast (no floor); compare
+    # loosely (dt itself is f32 in the f32 model)
+    np.testing.assert_allclose(
+        np.asarray(m_mat.trans.Qs.value),
+        np.asarray(m64_mat.trans.Qs.value).astype(np.float32),
+        rtol=1e-2, atol=0,
+    )
+    # f64 deterministic blocks stay exactly zero-diffusion
+    m64 = build_lgssm(to_sde(GP(ksum), ArrayStorage(jnp.float64))(x64, jnp.asarray(0.1)))
+    assert float(np.diag(np.asarray(m64.trans.Qs.value))[-1]) == 0.0
