@@ -25,15 +25,36 @@ from temporalgps_tpu.gp import EQ, GP, ArrayStorage, Matern52, to_sde
 from temporalgps_tpu.space_time import RectilinearGrid, Separable, elbo
 
 
-def timed(fn, *args, iters=5):
+_FLOOR = None
+
+
+def _floor():
+    global _FLOOR
+    if _FLOOR is None:
+        f = jax.jit(lambda x: x + 1.0)
+        z = jnp.zeros(())
+        float(f(z))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(f(z))
+        _FLOOR = (time.perf_counter() - t0) / 10
+        print(f"host round-trip floor: {_FLOOR*1e3:.2f} ms", flush=True)
+    return _FLOOR
+
+
+def timed(fn, *args, iters=10):
+    """Amortised enqueue-K/fetch-once timing (see bench.py)."""
+    fl = _floor()
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    jax.tree.map(lambda a: float(jnp.ravel(a)[0]), out)
     cs = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, cs
+    for _ in range(iters - 1):
+        fn(*args)
+    out = fn(*args)
+    jax.tree.map(lambda a: float(jnp.ravel(a)[0]), out)
+    return max((time.perf_counter() - t0 - fl) / iters, 1e-9), cs
 
 
 def main():
@@ -56,7 +77,7 @@ def main():
 
     p0 = jnp.asarray([0.0, 0.0, -2.3], dtype)
     vals = {}
-    for engine in ["sequential", "parallel", "block"]:
+    for engine in ["block", "lti", "sequential"]:
         f = jax.jit(lambda p, y_, e=engine: elbo_fn(p, y_, e))
         dt, cs = timed(f, p0, y)
         vals[engine] = float(f(p0, y))
@@ -65,10 +86,8 @@ def main():
             f"({Ns*Nt/dt/1e6:6.1f} Mobs/s) compile {cs:.0f}s val={vals[engine]:.1f}",
             flush=True,
         )
-        if engine == "parallel":
-            # reverse-mode through the N-element assoc scan at D=30 needs
-            # ~78G of residuals at Nt=100k — OOM; the block engine is the
-            # gradient path at this scale.
+        if engine == "lti":
+            # lti reverse-mode HLO is compile-prohibitive; forward-only.
             continue
         g = jax.jit(jax.value_and_grad(lambda p, y_, e=engine: elbo_fn(p, y_, e)))
         dt, cs = timed(g, p0, y, iters=3)
