@@ -5,6 +5,9 @@
 #5 approx: DTC with M inducing points, ELBO + gradient, large Nt
    (reference: examples/approx_space_time_learning.jl).
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

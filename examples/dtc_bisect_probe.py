@@ -9,6 +9,9 @@ Variants, all separately jitted in ONE process (compile-service friendly):
   v4 elems     vectorised construction over all N, summed (forces compute)
 All under 'highest' matmul precision (the driver's scoping for D=30).
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

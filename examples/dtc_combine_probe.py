@@ -3,6 +3,9 @@ vs the current fused construct+combine scan, DTC D=30 Nt=100k.
 If combine-only is fast, the block engine should materialise elements
 vectorised (one fat XLA region) and scan only the combine.
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

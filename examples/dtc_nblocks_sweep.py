@@ -5,6 +5,9 @@ heuristic measured at D=150); the DTC state (M=10 x Matern52 -> D=30) is
 better conditioned and much smaller — sweep to see where dispatch overhead
 stops dominating.
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

@@ -7,6 +7,9 @@ driver applies (models/lgssm._with_precision):
   phase3  within-block Kalman lml scan at several B
   full    lg.logpdf(engine="block", n_blocks=B)
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

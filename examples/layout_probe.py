@@ -1,5 +1,8 @@
 """Microbenchmark: trailing-(D,D) batched layout vs lane-major unrolled
 components for the per-step Kalman math. Run on TPU."""
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import time
 

@@ -1,6 +1,9 @@
 """Sweep block counts for the block engine on TPU: total scan iterations
 ~ 2*N/B + log2(B); per-iteration dispatch overhead dominates, so larger B
 (shorter within-block scans) should win until phase-2 costs take over."""
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

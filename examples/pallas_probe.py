@@ -1,4 +1,7 @@
 """TPU probe: padded XLA block engine vs Pallas fused kernels, N=1M f32."""
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

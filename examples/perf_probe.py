@@ -2,6 +2,9 @@
 
 Run on the real chip:  PYTHONPATH=/root/repo:$PYTHONPATH python examples/perf_probe.py
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

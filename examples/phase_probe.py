@@ -5,6 +5,9 @@ associative_scan over B block aggregates), and phase 3 (within-block lml
 kernel) separately, to size the win of fusing phase 2 into a single kernel
 (docs/ROADMAP.md item 2).
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time

@@ -7,6 +7,9 @@ probe measures the intermediate 'high' (bf16_3x / 3-pass) setting: if the
 recursion stays finite and accurate, it reclaims ~2x of matmul throughput
 on the matmul-bound spatio-temporal family.
 """
+# NOTE: this probe predates the amortised-timing methodology (see bench.py
+# timed()); its block_until_ready-based numbers under-report sub-100ms
+# runs on the tunneled backend. Kept as an investigation artifact.
 
 import sys
 import time
