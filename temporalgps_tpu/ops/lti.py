@@ -139,10 +139,27 @@ def _cov_pass(model, N, B, dtype):
     prior_b = jax.tree.map(lambda x: x[None], prior)
     St = assoc._combine_filter(prior_b, S)  # (B, ...)
 
-    St_e = jax.tree.map(lambda x: x[:, None], St)       # (B, 1, ...)
     Ep_e = jax.tree.map(lambda x: x[None], E_pows)      # (1, L, ...)
-    X = assoc._combine_filter(St_e, Ep_e)               # (B, L, ...)
-    P_f = X[2].reshape((N, D, D))                       # cov after step t+1
+
+    # The outer combine's temporaries are ~10 (B, L, D, D) tensors; chunk
+    # the B axis so peak memory stays bounded (N=1e6 at D=19 otherwise
+    # needs ~18GB of HBM). Only the C-component is kept.
+    elem_bytes = 10 * L * D * D * 4
+    C = B
+    while C > 1 and C * elem_bytes > (1 << 29):  # ~512MB of temporaries
+        C //= 2
+
+    def chunk_cov(st_chunk):
+        st_e = jax.tree.map(lambda x: x[:, None], st_chunk)  # (C, 1, ...)
+        return assoc._combine_filter(st_e, Ep_e)[2]          # (C, L, D, D)
+
+    if C == B:
+        P_f = chunk_cov(St).reshape((N, D, D))
+    else:
+        St_c = jax.tree.map(
+            lambda x: x.reshape((B // C, C) + x.shape[1:]), St
+        )
+        P_f = jax.lax.map(chunk_cov, St_c).reshape((N, D, D))
     return P_f, e0, trans0, e_single
 
 
