@@ -1,6 +1,6 @@
 """Quick TPU perf probe: Matern52 logpdf (+grad) across engines/dtypes.
 
-Run on the real chip:  PYTHONPATH=/root/repo:$PYTHONPATH python examples/perf_probe.py
+Run on the real chip:  PYTHONPATH=/root/repo:$PYTHONPATH python probes/perf_probe.py
 """
 # NOTE: this probe predates the amortised-timing methodology (see bench.py
 # timed()); its block_until_ready-based numbers under-report sub-100ms
