@@ -266,19 +266,44 @@ def _rotation(omega, dt, dtype):
     return jnp.stack([row0, row1], axis=-2)
 
 
-def _besseli_scaled(n: int, x, terms: int = 60):
-    """e^{-x} I_n(x) via the ascending series, f64-stable for x <~ 30
-    (the reference calls Bessels.besseli, reference: src/gp/lti_sde.jl:302)."""
+def _besseli_scaled(n: int, x):
+    """e^{-x} I_n(x), full range (the reference calls Bessels.besseli,
+    reference: src/gp/lti_sde.jl:302).
+
+    Ascending series for x <= x_s(n) (all-positive terms, no cancellation;
+    the term count is sized so truncation error is < 1e-12 at the
+    switch point), Hankel asymptotic expansion beyond. The switch point
+    grows with mu = 4n^2 so the asymptotic ratio (mu-1)/(8x) stays < 1/2
+    at the boundary. Differentiable in x across the switch: each branch
+    is evaluated on a clamped argument so the untaken branch never
+    produces inf/nan that would poison gradients through jnp.where."""
     x = jnp.asarray(x)
-    half = x / 2.0
-    log_half = jnp.log(half)
-    out = 0.0
+    mu = 4.0 * n * n
+    x_s = max(30.0, mu / 4.0)
+    terms = int(x_s / 2.0 + 6.0 * math.sqrt(x_s)) + 10
+
+    # Ascending series on x clamped to [0, x_s].
+    x_lo = jnp.minimum(x, x_s)
+    log_half = jnp.log(x_lo / 2.0)
+    series = 0.0
     for k in range(terms):
         logt = (n + 2 * k) * log_half - (
             math.lgamma(k + 1) + math.lgamma(n + k + 1)
         )
-        out = out + jnp.exp(logt - x)
-    return out
+        series = series + jnp.exp(logt - x_lo)
+
+    # Hankel asymptotic expansion on x clamped to [x_s, inf):
+    # e^{-x} I_n(x) ~ (2 pi x)^{-1/2} sum_k (-1)^k prod_{j<k}(mu-(2j+1)^2)
+    #                                          / (k! (8x)^k).
+    x_hi = jnp.maximum(x, x_s)
+    term = jnp.ones_like(x_hi)
+    asym = jnp.ones_like(x_hi)
+    for k in range(1, 13):
+        term = term * (-(mu - (2 * k - 1) ** 2) / (k * 8.0 * x_hi))
+        asym = asym + term
+    asym = asym / jnp.sqrt(2.0 * jnp.pi * x_hi)
+
+    return jnp.where(x <= x_s, series, asym)
 
 
 def has_deterministic_component(k) -> bool:

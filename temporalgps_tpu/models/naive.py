@@ -125,6 +125,55 @@ def naive_marginals(model: LGSSM):
     return means, covs
 
 
+def naive_posterior_logpdf(model: LGSSM, y, y2):
+    """Dense oracle for logpdf(posterior(model, y), y2).
+
+    The posterior LGSSM keeps the prior's emissions (lgssm.posterior,
+    reference: src/models/lgssm.jl:193-228), so its logpdf of y2 is
+    log p(y2' | y) where y2' is a *fresh* noisy re-observation of the same
+    latent chain: joint cov [[A P A' + S, A P A'], [A P A', A P A' + S]]
+    with P the dense latent joint — independent noise on each copy."""
+    assert model.trans.forward, "oracle implemented for Forward priors"
+    N = len(model)
+    mean, cov, dims = joint_observation_gaussian(model)
+    from ..utils.fill import Fill
+    from .emissions import DenseEmissions
+
+    D = model.latent_dim
+    ident = LGSSM(
+        model.trans,
+        DenseEmissions(
+            H=Fill(np.eye(D), N), h=Fill(np.zeros(D), N), S=Fill(np.zeros((D, D)), N)
+        ),
+    )
+    _, lat_cov, _ = joint_observation_gaussian(ident)
+
+    offsets = np.concatenate([[0], np.cumsum(dims)])
+    total = offsets[-1]
+    # Noise-free observation joint: A_e lat_cov A_e' blockwise.
+    As_e = [
+        _effective_emission(tindex(model.emis, t))[0] for t in range(N)
+    ]
+    C = np.zeros((total, total))
+    for ti in range(N):
+        si = slice(offsets[ti], offsets[ti + 1])
+        for tj in range(N):
+            sj = slice(offsets[tj], offsets[tj + 1])
+            C[si, sj] = As_e[ti] @ lat_cov[ti * D : (ti + 1) * D, tj * D : (tj + 1) * D] @ As_e[tj].T
+
+    yv = np.asarray(y, dtype=np.float64).reshape(-1)
+    y2v = np.asarray(y2, dtype=np.float64).reshape(-1)
+    sol = np.linalg.solve(cov, yv - mean)
+    cond_mean = mean + C @ sol
+    cond_cov = cov - C @ np.linalg.solve(cov, C.T)
+    d = y2v - cond_mean
+    L = np.linalg.cholesky(cond_cov)
+    alpha = np.linalg.solve(L, d)
+    return float(
+        -0.5 * (len(y2v) * np.log(2 * np.pi) + 2 * np.sum(np.log(np.diag(L))) + alpha @ alpha)
+    )
+
+
 def naive_posterior_marginals(model: LGSSM, y):
     """Observation-space posterior marginals of the *noisy* observation
     process conditioned on y: mean/cov per time step via dense conditioning

@@ -94,18 +94,20 @@ def test_posterior_marginals_vs_naive(rng, case):
         )
 
 
-def test_posterior_logpdf_consistency(rng):
-    """logpdf of y under posterior conditioned on y equals
-    joint factorisation: logp(y2 | y1) computable both ways."""
-    model = random_lgssm(rng, kind="scalar", D=2, Dout=1, N=5)
+@pytest.mark.parametrize("kind", ["scalar", "dense"])
+def test_posterior_logpdf_vs_dense_conditional(rng, kind):
+    """logpdf(posterior(model, y), y2) against the dense conditional oracle:
+    the posterior LGSSM keeps the prior's emissions, so its logpdf of y2 is
+    log p(y2' | y) with y2' a fresh noisy re-observation of the latent chain
+    (naive.naive_posterior_logpdf)."""
+    model = random_lgssm(rng, kind=kind, D=2, Dout=2 if kind == "dense" else 1, N=5)
     y = random_obs(rng, model)
-    # p(y) from prior; posterior model's logpdf of the same y must match the
-    # dense conditional construction: here just check finiteness/shape since
-    # semantics of posterior logpdf include observation noise replacement at
-    # the API layer.
+    y2 = random_obs(rng, model)
     post = posterior(model, y)
-    val = float(logpdf(post, y))
-    assert np.isfinite(val)
+    for y_eval in (y2, y):
+        got = float(logpdf(post, y_eval))
+        want = naive.naive_posterior_logpdf(model, y, y_eval)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
 
 
 def test_rand_moments(rng):

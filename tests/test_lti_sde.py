@@ -111,6 +111,31 @@ def test_rand_shapes_and_moments(rng):
     np.testing.assert_allclose(ys.var(0), np.asarray(v), rtol=0.15)
 
 
+def test_approx_periodic_small_r_oracle(rng):
+    """Small lengthscale exercises the large-x Bessel branch: r = 0.05 puts
+    x = 1/(4 r^2) = 100, far beyond the ascending series' stable range
+    (reference uses Bessels.besseli, src/gp/lti_sde.jl:302). n_cos is raised
+    to 50 so the cosine-series truncation error (~exp(-n^2/2x)/sqrt(2 pi x))
+    sits below tolerance; the oracle is the EXACT periodic gram."""
+    kern = 0.7 * ApproxPeriodic(0.05, n_cos=50)
+    _check_case(rng, kern, ZeroMean(), RegularSpacing(0.0, 0.3, N), 0.1, rtol=2e-6)
+
+
+def test_besseli_scaled_vs_scipy():
+    """Unit-level check of e^{-x} I_n(x) across both branches (ascending
+    series and Hankel asymptotic) against scipy.special.ive."""
+    scipy_special = pytest.importorskip("scipy.special")
+    import jax.numpy as jnp
+
+    from temporalgps_tpu.gp.kernels import _besseli_scaled
+
+    for n in [0, 1, 3, 6, 7, 10]:
+        for x in [0.5, 5.0, 25.0, 29.9, 30.1, 50.0, 100.0, 1000.0, 1e4]:
+            got = float(_besseli_scaled(n, jnp.float64(x)))
+            want = float(scipy_special.ive(n, x))
+            np.testing.assert_allclose(got, want, rtol=1e-9, err_msg=f"n={n} x={x}")
+
+
 def test_logpdf_missing_data(rng):
     """NaNs are treated as missing: logpdf must equal the dense logpdf of the
     observed subset (reference: test/models/missings.jl semantics)."""
