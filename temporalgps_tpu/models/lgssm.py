@@ -165,6 +165,10 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None,
                 "(time-invariant) transition and emission parameters"
             )
         return lti.logpdf(model, y, n_blocks=n_blocks)
+    if engine == "steady":
+        from ..ops import steady
+
+        return steady.logpdf(model, y, n_blocks=n_blocks)
     if engine == "parallel":
         from ..ops import assoc
 
@@ -276,6 +280,10 @@ def marginals_diag(model: LGSSM, *, engine=None):
         if not lti.supported(model):
             raise ValueError("engine='lti' requires an all-Fill forward model")
         return lti.marginals_diag(model)
+    if engine == "steady":
+        from ..ops import steady
+
+        return steady.marginals_diag(model)
     if engine == "block" and isinstance(model.emis, em.ScalarEmissions):
         from ..ops import block
 
@@ -317,6 +325,10 @@ def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
         if not lti.supported(model):
             raise ValueError("engine='lti' requires an all-Fill forward model")
         return lti.latent_marginals(model)
+    if engine == "steady":
+        from ..ops import steady
+
+        return steady.latent_marginals(model)
     if engine in ("parallel", "block"):
         return _latent_marginals_engine(model, engine)
 

@@ -271,9 +271,14 @@ def _filter_pass(model, y, n_blocks=None):
 
 def logpdf(model, y, *, n_blocks=None):
     """lml of a Fill-parameter forward model; no missing data."""
+    return _lml_from_filter(_filter_pass(model, y, n_blocks))
+
+
+def _lml_from_filter(q):
+    """Sum of per-step lml terms from a `_filter_pass` result (shared with
+    the steady-state engine's exact warmup segment, ops/steady.py)."""
     import math
 
-    q = _filter_pass(model, y, n_blocks)
     y, m_pred = q["y"], q["m_pred"]
     if q["scalar"]:
         H, h, Sv = q["H"], q["h"], q["Sv"]

@@ -1,0 +1,317 @@
+"""Steady-state time-invariant Kalman engine.
+
+For all-Fill forward models (the RegularSpacing / spatio-temporal-grid / DTC
+family, reference: src/gp/lti_sde.jl:148-160) the Kalman covariance
+recursion is a time-invariant Riccati iteration that converges geometrically
+to its fixed point (rate = closed-loop spectral radius squared,
+~|1 - lambda dt|^2 per step for Matern models). This engine:
+
+  1. runs the EXACT blocked covariance/mean/lml pipeline (ops/lti.py) on the
+     first `n_warmup` steps only;
+  2. computes the exact filtering covariance at t = N by binary-power
+     composition of the constant filtering element (~log2 N unbatched
+     combines) and uses it as the converged covariance for every later step;
+  3. solves the remaining mean recursion m_t = G m_{t-1} + w_t with a
+     CONSTANT matrix G via `affine_const_states` — a within-block
+     convolution expressed as one dense (B, L*D) x (L*D, L*D) matmul plus a
+     log2(B)-level constant-matrix Kogge-Stone, all dense MXU tiles;
+  4. evaluates the remaining lml terms with constant per-step operators
+     (one Dout-dim Cholesky total, const-sided batched matmuls).
+
+Nothing in the steady segment touches an (N, D, D) batched small-matrix op,
+which removes the (8,128)-tile padding tax that bounds the exact lti engine
+at moderate D (docs/ROADMAP.md item 2c) and makes reverse-mode gradients
+cheap (no O(N) covariance residuals) with cost independent of the number of
+hyperparameters.
+
+Approximation contract: per-step filtering covariances for t >= n_warmup
+are replaced by the converged value. The induced logpdf error decays like
+rho^(2 n_warmup); callers must choose n_warmup >~ 5 / (lambda dt) (default
+512 covers lambda dt >~ 0.01). The engine is OPT-IN (engine="steady");
+tests validate against the sequential engine at f64. Models with
+deterministic diffusion blocks (Cosine/Constant/ApproxPeriodic) converge
+too slowly for the default warmup and are rejected. No missing data (the
+large-variance fill breaks time-invariance) — same restriction as ops/lti.
+
+The exact recursion's semantics follow reference src/models/lgssm.jl:147-165;
+the steady-state shortcut is a TPU-native re-design with no reference
+counterpart.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..models import emissions as em
+from ..utils import psd
+from ..utils.fill import Fill, is_fill
+from . import assoc, lti
+
+DEFAULT_WARMUP = 512
+
+
+def supported(model) -> bool:
+    return lti.supported(model) and not model.trans.det_blocks
+
+
+def _trim(model, k):
+    """The same Fill model over its first k steps."""
+    return jax.tree_util.tree_map(
+        lambda l: Fill(l.value, k) if is_fill(l) else l, model, is_leaf=is_fill
+    )
+
+
+def _mT(X):
+    return jnp.swapaxes(X, -1, -2)
+
+
+def _steady_filter_cov(model, N, dtype):
+    """Exact filtering covariance at t = 2^ceil(log2 N) >= N via binary-power
+    self-composition of the constant filtering element (data-free, so the
+    b/eta components stay zero)."""
+    D = model.latent_dim
+    e0, _, _ = lti._const_element(model, dtype)
+    E = (e0[0], jnp.zeros((D,), dtype), e0[2], jnp.zeros((D,), dtype), e0[4])
+    for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
+        E = assoc._combine_filter(E, E)
+    x0 = model.trans.x0
+    prior = (
+        jnp.zeros((D, D), dtype),
+        x0.mean.astype(dtype),
+        psd.symmetrize(x0.cov).astype(dtype),
+        jnp.zeros((D,), dtype),
+        jnp.zeros((D, D), dtype),
+    )
+    return psd.symmetrize(assoc._combine_filter(prior, E)[2])
+
+
+def affine_const_states(G, w, m0, *, block_len=16):
+    """States m_t = G m_{t-1} + w_t, t = 1..M, m_0 = m0, with CONSTANT G.
+
+    w: (M, D). Returns (M, D). TPU-native schedule: G-powers G^0..G^L once
+    (tiny L-scan), the within-block inhomogeneous sums as ONE dense
+    (B, L*D) @ (L*D, L*D) matmul against a lower-triangular block-Toeplitz
+    operator, block-start states via a log2(B)-level Kogge-Stone whose
+    per-level op is a const-sided (B, D) @ (D, D) matmul, and the final
+    within-block expansion as one (L*D, D) @ (D, B) matmul."""
+    M, D = w.shape
+    dtype = w.dtype
+    L = min(block_len, M)
+    B = -(-M // L)  # ceil
+    pad = B * L - M
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros((pad, D), dtype)], axis=0)
+    wb = w.reshape(B, L, D)
+
+    # G^0..G^L  (L+1, D, D)
+    def pow_step(P, _):
+        Pn = G @ P
+        return Pn, Pn
+
+    _, Gp_tail = jax.lax.scan(pow_step, jnp.eye(D, dtype=dtype), None, length=L)
+    Gp = jnp.concatenate([jnp.eye(D, dtype=dtype)[None], Gp_tail], axis=0)
+
+    # T[l, i] = G^(l-i) for i <= l else 0; one gather, built once.
+    li = jnp.arange(L)
+    idx = li[:, None] - li[None, :]  # (L, L)
+    Tmat = jnp.where(
+        (idx >= 0)[:, :, None, None], Gp[jnp.clip(idx, 0, L)], 0.0
+    )  # (L, L, D, D)
+    # W[b, l, d1] = sum_{i,d2} T[l, i, d1, d2] w[b, i, d2]
+    T2 = Tmat.transpose(0, 2, 1, 3).reshape(L * D, L * D)
+    W = (wb.reshape(B, L * D) @ T2.T).reshape(B, L, D)
+
+    # Block-start states: m_start[0] = m0; m_start[b+1] = G^L m_start[b] + W[b, L-1].
+    GL = Gp[L]
+    h = W[:, L - 1, :]  # (B, D)
+    h = h.at[0].add(GL @ m0)
+    # decayed inclusive prefix: p[b] = sum_{i<=b} (G^L)^(b-i) h[i]
+    P_lev = GL
+    p = h
+    shift = 1
+    while shift < B:
+        p = p.at[shift:].add(p[:-shift] @ P_lev.T)
+        P_lev = P_lev @ P_lev
+        shift *= 2
+    m_start = jnp.concatenate([m0[None], p[:-1]], axis=0)  # (B, D)
+
+    # m[b, l] = G^(l+1) m_start[b] + W[b, l]
+    lead = (Gp[1:].reshape(L * D, D) @ m_start.T).T.reshape(B, L, D)
+    return (lead + W).reshape(B * L, D)[:M]
+
+
+def _steady_ops(model, dtype, N):
+    """Constant late-segment operators from the converged covariance."""
+    P_ss = _steady_filter_cov(model, N, dtype)
+    A0 = model.trans.As.value.astype(dtype)
+    a0 = model.trans.offs.value.astype(dtype)
+    Q0 = model.trans.Qs.value.astype(dtype)
+    P_pred = psd.symmetrize(A0 @ P_ss @ A0.T + Q0)
+    e_single = lti._single(model.emis)
+    out = dict(A0=A0, a0=a0, P_ss=P_ss, P_pred=P_pred)
+    if isinstance(model.emis, em.ScalarEmissions):
+        H, h, s = e_single.H.astype(dtype), e_single.h, e_single.s
+        PH = P_pred @ H
+        S = H @ PH + s
+        K = PH / S  # (D,)
+        G = A0 - K[:, None] * (H @ A0)[None, :]
+        c_w = a0 - K * (H @ a0 + h)
+        out.update(scalar=True, H=H, h=h, S=S, K=K, G=G, c_w=c_w,
+                   logdetS=jnp.log(S))
+    else:
+        H_eff, h_eff, R_kind, R_payload = lti._effective_emission(e_single)
+        H_eff = H_eff.astype(dtype)
+        h_eff = h_eff.astype(dtype)
+        Dout = H_eff.shape[0]
+        if R_kind == "diag":
+            R = jnp.zeros((Dout, Dout), dtype).at[
+                jnp.arange(Dout), jnp.arange(Dout)
+            ].set(R_payload.astype(dtype))
+        else:
+            R = R_payload.astype(dtype)
+        S = psd.symmetrize(H_eff @ P_pred @ H_eff.T + R)
+        Ls = psd.cholesky(S)
+        S_inv = psd.chol_solve(Ls, jnp.eye(Dout, dtype=dtype))
+        K = P_pred @ (H_eff.T @ S_inv)  # (D, Dout)
+        G = A0 - K @ (H_eff @ A0)
+        c_w = a0 - K @ (H_eff @ a0 + h_eff)
+        out.update(scalar=False, H_eff=H_eff, h_eff=h_eff, S_inv=S_inv,
+                   K=K, G=G, c_w=c_w, logdetS=psd.logdet_from_chol(Ls),
+                   Dout=Dout)
+    return out
+
+
+def _check(model):
+    if not lti.supported(model):
+        raise ValueError(
+            "engine='steady' requires a forward model with all-Fill "
+            "(time-invariant) transition and emission parameters"
+        )
+    if model.trans.det_blocks:
+        raise ValueError(
+            "engine='steady' rejects models with deterministic diffusion "
+            "blocks (Cosine/Constant/ApproxPeriodic): their Riccati "
+            "recursion converges too slowly for a fixed warmup; use "
+            "engine='sequential'"
+        )
+
+
+def logpdf(model, y, *, n_warmup=None, n_blocks=None, block_len=16):
+    """lml of a Fill-parameter forward model, steady-state approximation
+    beyond the first n_warmup (default 512) exactly-filtered steps."""
+    _check(model)
+    N = len(model)
+    k = min(n_warmup or DEFAULT_WARMUP, N)
+    if k >= N:
+        return lti.logpdf(model, y, n_blocks=n_blocks)
+    dtype = model.trans.x0.dtype
+    y = jnp.asarray(y, dtype)
+
+    # exact first-k segment (ops/lti blocked pipeline on the trimmed model)
+    B_w = 16
+    while k % B_w:
+        B_w //= 2
+    q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=B_w)
+    lp_early = lti._lml_from_filter(q)
+    m_start = q["means"][-1]
+
+    # steady late segment
+    ops = _steady_ops(model, dtype, N)
+    y_late = y[k:]
+    Mlen = N - k
+    A0, a0 = ops["A0"], ops["a0"]
+    if ops["scalar"]:
+        w = ops["c_w"][None, :] + (y_late - ops["h"])[:, None] * ops["K"][None, :]
+        means = affine_const_states(ops["G"], w, m_start, block_len=block_len)
+        m_prev = jnp.concatenate([m_start[None], means[:-1]], axis=0)
+        m_pred = m_prev @ A0.T + a0
+        r = y_late - (m_pred @ ops["H"] + ops["h"])
+        lp_late = -0.5 * (
+            Mlen * (ops["logdetS"] + math.log(2.0 * math.pi))
+            + jnp.sum(r * r) / ops["S"]
+        )
+    else:
+        HA = ops["H_eff"] @ A0  # (Dout, D)
+        d0 = ops["H_eff"] @ a0 + ops["h_eff"]  # (Dout,)
+        w = ops["c_w"][None, :] + y_late @ ops["K"].T
+        means = affine_const_states(ops["G"], w, m_start, block_len=block_len)
+        m_prev = jnp.concatenate([m_start[None], means[:-1]], axis=0)
+        r = y_late - (m_prev @ HA.T + d0)
+        quad = jnp.sum(r * (r @ ops["S_inv"].T))
+        lp_late = -0.5 * (
+            Mlen * (ops["logdetS"] + ops["Dout"] * math.log(2.0 * math.pi))
+            + quad
+        )
+    return lp_early + lp_late
+
+
+def latent_marginals(model, *, n_warmup=None, block_len=16):
+    """Prior latent marginals: exact means everywhere (constant-matrix
+    affine solve); covariances exact for the first n_warmup steps, converged
+    Lyapunov fixed point (= P_inf for stationarity-initialised models)
+    beyond."""
+    from ..utils.gaussian import Gaussian
+
+    _check(model)
+    N = len(model)
+    k = min(n_warmup or DEFAULT_WARMUP, N)
+    dtype = model.trans.x0.dtype
+    D = model.latent_dim
+    A0 = model.trans.As.value.astype(dtype)
+    a0 = model.trans.offs.value.astype(dtype)
+    Q0 = psd.symmetrize(model.trans.Qs.value.astype(dtype))
+    x0 = model.trans.x0
+
+    # means: exact, constant-matrix affine recursion
+    w = jnp.broadcast_to(a0, (N, D))
+    means = affine_const_states(A0, w, x0.mean.astype(dtype),
+                                block_len=block_len)
+
+    # covariances: exact k-step Lyapunov via affine-element powers, then
+    # the converged value via binary-power composition.
+    E1 = (A0, jnp.zeros((D,), dtype), Q0)
+
+    def pow_step(carry, _):
+        nxt = assoc._combine_affine(carry, E1)
+        return nxt, nxt
+
+    ident = (jnp.eye(D, dtype=dtype), jnp.zeros((D,), dtype),
+             jnp.zeros((D, D), dtype))
+    _, E_pows = jax.lax.scan(pow_step, ident, None, length=k)
+    P0 = psd.symmetrize(x0.cov).astype(dtype)
+    # P_t = A^t P0 (A^t)' + C_t  for t = 1..k
+    At = E_pows[0]  # (k, D, D)
+    P_early = psd.symmetrize(At @ P0 @ _mT(At) + E_pows[2])
+    if k >= N:
+        covs = P_early[:N]
+    else:
+        E = jax.tree_util.tree_map(lambda l: l[-1], E_pows)
+        for _ in range(max(1, math.ceil(math.log2(max(N // max(k, 1), 2))))):
+            E = assoc._combine_affine(E, E)
+        P_ss = psd.symmetrize(E[0] @ P0 @ E[0].T + E[2])
+        covs = jnp.concatenate(
+            [P_early, jnp.broadcast_to(P_ss, (N - k, D, D))], axis=0
+        )
+    if not model.trans.forward:
+        means, covs = jnp.flip(means, 0), jnp.flip(covs, 0)
+    return Gaussian(means, covs)
+
+
+def marginals_diag(model, *, n_warmup=None):
+    """(means, vars) of observation-space marginals, steady-state prior."""
+    xs = latent_marginals(model, n_warmup=n_warmup)
+    e_single = lti._single(model.emis)
+    if isinstance(model.emis, em.ScalarEmissions):
+        H, h, s = e_single.H, e_single.h, e_single.s
+        mu = xs.mean @ H + h
+        var = jnp.einsum("i,nij,j->n", H, xs.cov, H) + s
+        return mu, var
+    H_eff, h_eff, R_kind, R_payload = lti._effective_emission(e_single)
+    mu = xs.mean @ H_eff.T + h_eff
+    var = jnp.einsum("ij,njk,ik->ni", H_eff, xs.cov, H_eff)
+    if R_kind == "diag":
+        var = var + R_payload
+    else:
+        var = var + jnp.diagonal(R_payload)
+    return mu, var

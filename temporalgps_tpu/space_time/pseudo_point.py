@@ -221,19 +221,21 @@ def elbo(fx, y, z_r, *, engine=None):
     # marg includes Sigma, so this equals sum over *observed* entries of
     # (Cf - q)/Sigma (pseudo_point.jl:76-81).
     tmp = jnp.sum((Cf_diag - marg_v) / Sigma_filled, axis=-1) + jnp.sum(~mask, axis=-1)
-    if engine == "lti":
-        # Time-invariant fast path (ops/lti.py): requires fully-observed data
-        # (the large-variance missing fill would break Fill-ness). Raise
-        # host-side when y is concrete; under tracing (jitted training loop)
-        # a NaN check is impossible, so NaNs propagate loudly to the loss.
+    if engine in ("lti", "steady"):
+        # Time-invariant fast paths (ops/lti.py, ops/steady.py): require
+        # fully-observed data (the large-variance missing fill would break
+        # Fill-ness). Raise host-side when y is concrete; under tracing
+        # (jitted training loop) a NaN check is impossible, so NaNs
+        # propagate loudly to the loss.
         import jax.core as _core
 
         if not isinstance(y_tf, _core.Tracer) and bool(jnp.isnan(y_tf).any()):
             raise ValueError(
-                "elbo(engine='lti') requires fully-observed data (no NaNs); "
-                "use engine='block'/'sequential' for missing observations"
+                f"elbo(engine={engine!r}) requires fully-observed data (no "
+                "NaNs); use engine='block'/'sequential' for missing "
+                "observations"
             )
-        lp = lgssm_mod.logpdf(model, y_tf, engine="lti")
+        lp = lgssm_mod.logpdf(model, y_tf, engine=engine)
     else:
         lp = missings_mod.logpdf_with_missings(model, y_tf, engine=engine)
     return lp - 0.5 * jnp.sum(tmp)

@@ -1,0 +1,136 @@
+"""Steady-state engine (ops/steady.py) vs the sequential ground truth.
+
+The steady engine is an approximation (converged Riccati covariance beyond
+n_warmup); at f64 with dt large enough that the closed-loop recursion has
+converged well inside the warmup (lambda*dt ~ 0.1-0.2 here), it must agree
+with the exact sequential engine to near machine precision.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from temporalgps_tpu import RegularSpacing
+from temporalgps_tpu.gp import EQ, GP, Cosine, Matern52, to_sde, rand
+from temporalgps_tpu.gp.lti_sde import build_lgssm
+from temporalgps_tpu.models import lgssm as lg
+from temporalgps_tpu.ops.steady import affine_const_states
+
+
+def test_affine_const_states_vs_loop(rng):
+    D, M = 5, 237
+    G = jnp.asarray(rng.standard_normal((D, D)) * 0.3)
+    w = jnp.asarray(rng.standard_normal((M, D)))
+    m0 = jnp.asarray(rng.standard_normal(D))
+    got = affine_const_states(G, w, m0, block_len=16)
+    m, want = m0, []
+    for t in range(M):
+        m = G @ m + w[t]
+        want.append(m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(jnp.stack(want)),
+                               atol=1e-12)
+
+
+def _scalar_model(N=2000, dt=0.1):
+    x = RegularSpacing(0.0, dt, N)
+    fx = to_sde(GP(Matern52()))(x, 0.1)
+    return build_lgssm(fx), x
+
+
+def test_scalar_logpdf_vs_sequential(rng):
+    model, _ = _scalar_model()
+    y = rng.standard_normal(len(model))
+    lp_seq = float(lg.logpdf(model, y, engine="sequential"))
+    lp_st = float(lg.logpdf(model, y, engine="steady"))
+    np.testing.assert_allclose(lp_st, lp_seq, rtol=1e-12)
+
+
+def test_scalar_grad_vs_sequential(rng):
+    _, x = _scalar_model()
+    y = rng.standard_normal(x.N)
+
+    def loss(p, engine):
+        s2, sc, noise = jnp.exp(p)
+        fx = to_sde(GP((s2 * Matern52()).stretch(sc)))(x, noise)
+        return lg.logpdf(build_lgssm(fx), y, engine=engine)
+
+    g_seq = jax.grad(lambda p: loss(p, "sequential"))(jnp.zeros(3))
+    g_st = jax.grad(lambda p: loss(p, "steady"))(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_seq), rtol=1e-10)
+
+
+def test_marginals_vs_sequential(rng):
+    model, _ = _scalar_model()
+    m1, v1 = lg.marginals_diag(model, engine="sequential")
+    m2, v2 = lg.marginals_diag(model, engine="steady")
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-12)
+    xs1 = lg.latent_marginals(model, engine="sequential")
+    xs2 = lg.latent_marginals(model, engine="steady")
+    np.testing.assert_allclose(np.asarray(xs2.mean), np.asarray(xs1.mean),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(xs2.cov), np.asarray(xs1.cov),
+                               atol=1e-12)
+
+
+def test_delegates_to_lti_when_warmup_covers_n(rng):
+    model, _ = _scalar_model(N=300)
+    y = rng.standard_normal(300)
+    from temporalgps_tpu.ops import lti, steady
+
+    lp_st = float(steady.logpdf(model, y, n_warmup=512))
+    lp_lti = float(lti.logpdf(model, y))
+    assert lp_st == lp_lti  # exact delegation, bit-identical
+
+
+def test_dtc_elbo_and_grad_vs_sequential(rng):
+    from temporalgps_tpu.space_time import (
+        RectilinearGrid,
+        Separable,
+        dtcify,
+        elbo,
+        grids,
+    )
+
+    Ns, Nt, M = 7, 1500, 4
+    r = jnp.asarray(np.linspace(-3, 3, Ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
+    k = Separable(EQ().stretch(0.7), Matern52())
+    fx = to_sde(GP(k))(x, 0.1)
+    y = np.asarray(rand(jax.random.PRNGKey(0), fx))
+    z = jnp.asarray(np.linspace(-3, 3, M))
+
+    model = build_lgssm(dtcify(z, fx))
+    y_tf = grids.observations_to_time_form(fx.x, jnp.asarray(y))
+    lp_seq = float(lg.logpdf(model, y_tf, engine="sequential"))
+    lp_st = float(lg.logpdf(model, y_tf, engine="steady"))
+    np.testing.assert_allclose(lp_st, lp_seq, rtol=1e-9)
+
+    e_seq = float(elbo(fx, jnp.asarray(y), z, engine="sequential"))
+    e_st = float(elbo(fx, jnp.asarray(y), z, engine="steady"))
+    np.testing.assert_allclose(e_st, e_seq, rtol=1e-9)
+
+    def loss(p, engine):
+        s2, sc, noise = jnp.exp(p)
+        kern = s2 * Separable(EQ().stretch(sc), Matern52())
+        return elbo(to_sde(GP(kern))(x, noise), jnp.asarray(y), z, engine=engine)
+
+    g_seq = jax.grad(lambda p: loss(p, "sequential"))(jnp.zeros(3))
+    g_st = jax.grad(lambda p: loss(p, "steady"))(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_seq), rtol=1e-6)
+
+
+def test_rejects_det_blocks_and_non_fill(rng):
+    x = RegularSpacing(0.0, 0.1, 200)
+    fx = to_sde(GP(Matern52() + Cosine()))(x, 0.1)
+    model = build_lgssm(fx)
+    y = rng.standard_normal(200)
+    with pytest.raises(ValueError, match="deterministic"):
+        lg.logpdf(model, y, engine="steady")
+
+    xs = np.sort(rng.uniform(0.0, 4.0, 200))
+    fx_irr = to_sde(GP(Matern52()))(xs, 0.1)
+    model_irr = build_lgssm(fx_irr)
+    with pytest.raises(ValueError, match="Fill"):
+        lg.logpdf(model_irr, y, engine="steady")
