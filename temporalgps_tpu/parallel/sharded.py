@@ -256,11 +256,13 @@ def sharded_posterior_marginals(
     `marginals_diag(posterior(model, y))`; otherwise the smoothed latent
     Gaussian chain.
     """
-    if not model.trans.forward or not isinstance(model.emis, em.ScalarEmissions):
+    if not model.trans.forward:
         raise NotImplementedError(
-            "sharded smoothing supports forward scalar-emission models"
+            "sharded smoothing supports forward models"
         )
-    _check_divisible(jnp.shape(y)[-1], mesh, time_axis)
+    scalar = isinstance(model.emis, em.ScalarEmissions)
+    time_dim = -1 if scalar else -2
+    _check_divisible(jnp.shape(y)[time_dim], mesh, time_axis)
     from ..ops.assoc import _combine_affine
 
     D = model.latent_dim
@@ -268,14 +270,19 @@ def sharded_posterior_marginals(
     dtype = x0.dtype
     treedef, fill_mask, arrs, fills = _flatten_params(model)
 
-    y_spec = P(time_axis)
+    y_spec = P(time_axis) if scalar else P(time_axis, None)
     arr_specs = tuple(P(time_axis) for _ in arrs)
     fill_specs = tuple(P() for _ in fills)
     x0_spec = (P(), P())
-    out_spec = (P(time_axis), P(time_axis))
+    if observation_space and not scalar:
+        out_spec = (P(time_axis, None), P(time_axis, None))
+    elif observation_space:
+        out_spec = (P(time_axis), P(time_axis))
+    else:
+        out_spec = (P(time_axis), P(time_axis))
 
     def local_fn(y_loc, arrs_loc, fills_loc, x0_loc):
-        n_local = y_loc.shape[-1]
+        n_local = y_loc.shape[-1] if scalar else y_loc.shape[-2]
         params = _rebuild(treedef, fill_mask, list(arrs_loc), list(fills_loc), n_local)
         x0_g = Gaussian(*x0_loc)
 
@@ -327,14 +334,13 @@ def sharded_posterior_marginals(
 
         if not observation_space:
             return xs.mean, xs.cov
-        H, h, s = params[1].H, params[1].h, params[1].s
         from ..utils.fill import tmaterialize
 
-        Hm = tmaterialize(H).astype(dtype)
-        hm = tmaterialize(h).astype(dtype)
-        sm = tmaterialize(s).astype(dtype)
-        mean = jnp.einsum("ni,ni->n", Hm, xs.mean) + hm
-        var = jnp.einsum("ni,nij,nj->n", Hm, xs.cov, Hm) + sm
+        emis_b = jax.tree_util.tree_map(
+            lambda l: l.astype(dtype) if hasattr(l, "astype") else l,
+            tmaterialize(params[1]),
+        )
+        mean, var = em.step_predict_marginals(xs, emis_b)
         return mean, var
 
     fn = shard_map(
@@ -365,17 +371,17 @@ def sharded_posterior_rand(
     w_t ~ N(0, L_t) — composed distributionally as affine-MEAN elements
     (G_t, g_t + chol(L_t) eps_t), which shard exactly like the marginals.
     """
-    if not model.trans.forward or not isinstance(model.emis, em.ScalarEmissions):
-        raise NotImplementedError(
-            "sharded sampling supports forward scalar-emission models"
-        )
-    _check_divisible(jnp.shape(y)[-1], mesh, time_axis)
+    if not model.trans.forward:
+        raise NotImplementedError("sharded sampling supports forward models")
+    scalar = isinstance(model.emis, em.ScalarEmissions)
+    time_dim = -1 if scalar else -2
+    _check_divisible(jnp.shape(y)[time_dim], mesh, time_axis)
     from ..ops.assoc import _combine_affine_mean
 
     D = model.latent_dim
     x0 = model.trans.x0
     dtype = x0.dtype
-    N = jnp.shape(y)[-1]
+    N = jnp.shape(y)[time_dim]
     treedef, fill_mask, arrs, fills = _flatten_params(model)
 
     # Pre-draw ALL randomness outside shard_map (the reference pre-draws
@@ -385,12 +391,12 @@ def sharded_posterior_rand(
     eps = jax.random.normal(k_eps, (N, D), dtype)
     eps_final = jax.random.normal(k_final, (D,), dtype)
 
-    y_spec = P(time_axis)
+    y_spec = P(time_axis) if scalar else P(time_axis, None)
     arr_specs = tuple(P(time_axis) for _ in arrs)
     fill_specs = tuple(P() for _ in fills)
 
     def local_fn(y_loc, eps_loc, eps_f, arrs_loc, fills_loc, x0_loc):
-        n_local = y_loc.shape[-1]
+        n_local = y_loc.shape[-1] if scalar else y_loc.shape[-2]
         params = _rebuild(treedef, fill_mask, list(arrs_loc), list(fills_loc), n_local)
         x0_g = Gaussian(*x0_loc)
 
@@ -415,14 +421,16 @@ def sharded_posterior_rand(
         (G, g, L), _xfs = _local_reverse_dynamics(
             params, y_loc, start, D, dtype, n_blocks
         )
-        # realized backward-step offsets
-        Lc = psd.cholesky(psd.add_jitter(psd.symmetrize(L), 1e-12))
+        # realized backward-step offsets; jitter scaled to dtype (f32 grid
+        # models have near-singular smoothing covariances, utils/psd.py)
+        eps_j = psd.dtype_jitter(dtype)
+        Lc = psd.cholesky(psd.add_jitter(psd.symmetrize(L), eps_j))
         b = g + jnp.einsum("nij,nj->ni", Lc, eps_loc)
 
         # x_N sample: identical on every device (same final state + eps_f)
         Pf = psd.symmetrize(incl[2])
         x_fin = incl[1] + jnp.einsum(
-            "ij,j->i", psd.cholesky(psd.add_jitter(Pf, 1e-12)), eps_f
+            "ij,j->i", psd.cholesky(psd.add_jitter(Pf, eps_j)), eps_f
         )
 
         elems_rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), (G, b))
@@ -451,15 +459,17 @@ def sharded_posterior_rand(
 
         from ..utils.fill import tmaterialize
 
-        Hm = tmaterialize(params[1].H).astype(dtype)
-        hm = tmaterialize(params[1].h).astype(dtype)
-        return jnp.einsum("ni,ni->n", Hm, xs) + hm
+        emis_b = jax.tree_util.tree_map(
+            lambda l: l.astype(dtype) if hasattr(l, "astype") else l,
+            tmaterialize(params[1]),
+        )
+        return _emission_mean(emis_b, xs)
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(y_spec, P(time_axis), P(), arr_specs, fill_specs, (P(), P())),
-        out_specs=P(time_axis),
+        out_specs=P(time_axis) if scalar else P(time_axis, None),
         check_rep=False,
     )
     with precision_ctx(D):
@@ -467,3 +477,20 @@ def sharded_posterior_rand(
             jnp.asarray(y), eps, eps_final, tuple(arrs), tuple(fills),
             (x0.mean, x0.cov),
         )
+
+
+def _emission_mean(e, xs):
+    """Noiseless emission mean H x + h (batched over the leading time axis)
+    for every emission variant — the 'latent function value' the posterior
+    sampler returns (reference semantics: posterior rand emits the noiseless
+    process, src/gp/posterior_lti_sde.jl:60-74)."""
+    if isinstance(e, em.ScalarEmissions):
+        return jnp.einsum("ni,ni->n", e.H, xs) + e.h
+    if isinstance(e, em.DenseEmissions):
+        return jnp.einsum("nij,nj->ni", e.H, xs) + e.h
+    if isinstance(e, em.LargeEmissions):
+        return jnp.einsum("nij,nj->ni", e.C, xs) + e.c
+    if isinstance(e, em.BottleneckEmissions):
+        inner = jnp.einsum("nij,nj->ni", e.H, xs) + e.h
+        return jnp.einsum("nij,nj->ni", e.C, inner) + e.c
+    raise TypeError(type(e))

@@ -187,3 +187,64 @@ def test_sharded_logpdf_spacetime_vector_emissions(rng):
     lp_sh = float(sharded_logpdf(model, y_tf, mesh))
     lp_1 = float(lg.logpdf(model, y_tf, engine="sequential"))
     np.testing.assert_allclose(lp_sh, lp_1, rtol=1e-9)
+
+
+def _spacetime_model(rng, ns=10, nt=64, dtc=False):
+    from temporalgps_tpu.gp import EQ
+    from temporalgps_tpu.gp import lti_sde as api
+    from temporalgps_tpu.gp import to_sde as _to_sde
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, nt))
+    fx = _to_sde(GP(Separable(EQ(), Matern52())))(x, 0.25)
+    if dtc:
+        from temporalgps_tpu.space_time import dtcify
+
+        fx = dtcify(jnp.asarray(np.linspace(-2, 2, 4)), fx)
+    model = api.build_lgssm(fx)
+    y_tf = jnp.asarray(rng.standard_normal((nt, ns)))
+    return model, y_tf
+
+
+@pytest.mark.parametrize("dtc", [False, True], ids=["dense", "bottleneck"])
+def test_sharded_posterior_marginals_vector_emissions(rng, dtc):
+    """Distributed RTS smoother over a spatio-temporal grid model (Dense /
+    Bottleneck emissions) == single-device posterior marginals_diag."""
+    from temporalgps_tpu.models import lgssm as lg
+    from temporalgps_tpu.parallel import sharded_posterior_marginals
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    model, y_tf = _spacetime_model(rng, dtc=dtc)
+    mean_sh, var_sh = jax.jit(
+        lambda y_: sharded_posterior_marginals(model, y_, mesh)
+    )(y_tf)
+    post = lg.posterior(model, y_tf, engine="sequential")
+    mref, vref = lg.marginals_diag(post, engine="sequential")
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(vref), atol=1e-8)
+
+
+def test_sharded_posterior_rand_vector_emissions(rng):
+    """Distributed posterior sampler over a grid model: sample moments match
+    the smoothed emission-mean marginals (noiseless H x + h)."""
+    from temporalgps_tpu.models import lgssm as lg
+    from temporalgps_tpu.parallel import sharded_posterior_rand
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    model, y_tf = _spacetime_model(rng, ns=6, nt=32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 600)
+    samp = jax.vmap(
+        lambda k: sharded_posterior_rand(k, model, y_tf, mesh)
+    )(keys)
+    assert samp.shape == (600, 32, 6)
+    post = lg.posterior(model, y_tf, engine="sequential")
+    xs = lg.latent_marginals(post, engine="sequential")
+    from temporalgps_tpu.utils.fill import tmaterialize
+    from temporalgps_tpu.parallel.sharded import _emission_mean
+
+    emis_b = tmaterialize(model.emis)
+    mean_ref = _emission_mean(emis_b, xs.mean)
+    np.testing.assert_allclose(
+        np.asarray(samp.mean(0)), np.asarray(mean_ref), atol=0.12
+    )
