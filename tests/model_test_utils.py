@@ -101,3 +101,87 @@ def random_obs(rng, model):
     if isinstance(model.emis, ScalarEmissions):
         return rng.standard_normal(N)
     return rng.standard_normal((N, em.dim_out(model.emis)))
+
+
+def random_diag_psd(rng, D, scale=1.0):
+    return np.diag(scale * (0.2 + rng.random(D)))
+
+
+def random_gauss_markov_q(rng, D, N, *, time_varying=True, forward=True,
+                          q_diag=False):
+    """random_gauss_markov with a diagonal-Q axis (the reference sweeps
+    Q dense vs Diagonal, test/models/lgssm.jl:15-36)."""
+    make_q = random_diag_psd if q_diag else random_psd
+    if time_varying:
+        As = np.stack([random_stable_A(rng, D) for _ in range(N)])
+        offs = rng.standard_normal((N, D)) * 0.3
+        Qs = np.stack([make_q(rng, D) for _ in range(N)])
+    else:
+        As = Fill(random_stable_A(rng, D), N)
+        offs = Fill(rng.standard_normal(D) * 0.3, N)
+        Qs = Fill(make_q(rng, D), N)
+    x0 = Gaussian(rng.standard_normal(D), random_psd(rng, D))
+    return GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=forward)
+
+
+def random_lgssm_q(rng, *, kind="scalar", D=3, Dout=2, N=7, time_varying=True,
+                   forward=True, q_diag=False):
+    trans = random_gauss_markov_q(
+        rng, D, N, time_varying=time_varying, forward=forward, q_diag=q_diag
+    )
+    emis = random_emissions(rng, kind, D, Dout, N, time_varying=time_varying)
+    return LGSSM(trans, emis)
+
+
+# ---------------------------------------------------------------------------
+# Internal-consistency validation (role of the reference's validate_dims,
+# test/models/model_test_utils.jl:269-316).
+# ---------------------------------------------------------------------------
+
+
+def _leaf_shape(leaf):
+    from temporalgps_tpu.utils.fill import is_fill
+
+    return np.shape(leaf.value) if is_fill(leaf) else np.shape(leaf)[1:]
+
+
+def validate_dims(model):
+    """Assert every per-step parameter of the model has mutually consistent
+    shapes and time lengths."""
+    from temporalgps_tpu.models import emissions as em
+    from temporalgps_tpu.utils.fill import time_length
+
+    N = len(model)
+    D = model.latent_dim
+    t = model.trans
+    assert time_length(t.As) == N and time_length(t.offs) == N
+    assert time_length(t.Qs) == N and time_length(model.emis) == N
+    assert _leaf_shape(t.As) == (D, D)
+    assert _leaf_shape(t.offs) == (D,)
+    assert _leaf_shape(t.Qs) == (D, D)
+    assert np.shape(t.x0.mean) == (D,)
+    assert np.shape(t.x0.cov) == (D, D)
+
+    e = model.emis
+    Dout = em.dim_out(e)
+    if isinstance(e, ScalarEmissions):
+        assert Dout == 1
+        assert _leaf_shape(e.H) == (D,)
+        assert _leaf_shape(e.h) == () and _leaf_shape(e.s) == ()
+    elif isinstance(e, DenseEmissions):
+        assert _leaf_shape(e.H) == (Dout, D)
+        assert _leaf_shape(e.h) == (Dout,)
+        assert _leaf_shape(e.S) == (Dout, Dout)
+    elif isinstance(e, LargeEmissions):
+        assert _leaf_shape(e.C) == (Dout, D)
+        assert _leaf_shape(e.c) == (Dout,)
+        assert _leaf_shape(e.s_diag) == (Dout,)
+    elif isinstance(e, BottleneckEmissions):
+        M = _leaf_shape(e.H)[0]
+        assert _leaf_shape(e.H) == (M, D)
+        assert _leaf_shape(e.h) == (M,)
+        assert _leaf_shape(e.C) == (Dout, M)
+        assert _leaf_shape(e.c) == (Dout,)
+        assert _leaf_shape(e.s_diag) == (Dout,)
+    else:
+        raise TypeError(type(e))
