@@ -260,7 +260,6 @@ def latent_marginals(model, *, n_warmup=None, block_len=16):
     D = model.latent_dim
     A0 = model.trans.As.value.astype(dtype)
     a0 = model.trans.offs.value.astype(dtype)
-    Q0 = psd.symmetrize(model.trans.Qs.value.astype(dtype))
     x0 = model.trans.x0
 
     # means: exact, constant-matrix affine recursion
@@ -269,7 +268,29 @@ def latent_marginals(model, *, n_warmup=None, block_len=16):
                                 block_len=block_len)
 
     # covariances: exact k-step Lyapunov via affine-element powers, then
-    # the converged value via binary-power composition.
+    # the converged value via binary-power composition. NB this materialises
+    # the (N, D, D) chain the caller asked for; marginals_diag has a
+    # segment-wise path that avoids it.
+    P_early, P_ss = _prior_cov_segments(model, N, k, dtype)
+    if P_ss is None:
+        covs = P_early
+    else:
+        covs = jnp.concatenate(
+            [P_early, jnp.broadcast_to(P_ss, (N - k, D, D))], axis=0
+        )
+    if not model.trans.forward:
+        means, covs = jnp.flip(means, 0), jnp.flip(covs, 0)
+    return Gaussian(means, covs)
+
+
+def _prior_cov_segments(model, N, k, dtype):
+    """(P_early (k', D, D), P_ss (D, D) or None when k' == N): exact k-step
+    Lyapunov covariances + the converged fixed point. Shared by
+    latent_marginals and marginals_diag; never materialises (N, D, D)."""
+    D = model.latent_dim
+    A0 = model.trans.As.value.astype(dtype)
+    Q0 = psd.symmetrize(model.trans.Qs.value.astype(dtype))
+    x0 = model.trans.x0
     E1 = (A0, jnp.zeros((D,), dtype), Q0)
 
     def pow_step(carry, _):
@@ -280,38 +301,67 @@ def latent_marginals(model, *, n_warmup=None, block_len=16):
              jnp.zeros((D, D), dtype))
     _, E_pows = jax.lax.scan(pow_step, ident, None, length=k)
     P0 = psd.symmetrize(x0.cov).astype(dtype)
-    # P_t = A^t P0 (A^t)' + C_t  for t = 1..k
     At = E_pows[0]  # (k, D, D)
     P_early = psd.symmetrize(At @ P0 @ _mT(At) + E_pows[2])
     if k >= N:
-        covs = P_early[:N]
-    else:
-        E = jax.tree_util.tree_map(lambda l: l[-1], E_pows)
-        for _ in range(max(1, math.ceil(math.log2(max(N // max(k, 1), 2))))):
-            E = assoc._combine_affine(E, E)
-        P_ss = psd.symmetrize(E[0] @ P0 @ E[0].T + E[2])
-        covs = jnp.concatenate(
-            [P_early, jnp.broadcast_to(P_ss, (N - k, D, D))], axis=0
-        )
-    if not model.trans.forward:
-        means, covs = jnp.flip(means, 0), jnp.flip(covs, 0)
-    return Gaussian(means, covs)
+        return P_early[:N], None
+    E = jax.tree_util.tree_map(lambda l: l[-1], E_pows)
+    for _ in range(max(1, math.ceil(math.log2(max(N // max(k, 1), 2))))):
+        E = assoc._combine_affine(E, E)
+    P_ss = psd.symmetrize(E[0] @ P0 @ E[0].T + E[2])
+    return P_early, P_ss
 
 
 def marginals_diag(model, *, n_warmup=None):
-    """(means, vars) of observation-space marginals, steady-state prior."""
-    xs = latent_marginals(model, n_warmup=n_warmup)
+    """(means, vars) of observation-space marginals, steady-state prior.
+
+    Variances are computed segment-wise (exact warmup einsum + one constant
+    projection broadcast) so no (N, D, D) latent covariance tensor is ever
+    materialised — at DTC scale (Nt=1e6, D=30) that tensor alone would be
+    3.6 GB of HBM."""
+    _check(model)
+    N = len(model)
+    k = min(n_warmup or DEFAULT_WARMUP, N)
+    dtype = model.trans.x0.dtype
+    D = model.latent_dim
+    A0 = model.trans.As.value.astype(dtype)
+    a0 = model.trans.offs.value.astype(dtype)
+
+    means_lat = affine_const_states(
+        A0, jnp.broadcast_to(a0, (N, D)), model.trans.x0.mean.astype(dtype)
+    )
+    P_early, P_ss = _prior_cov_segments(model, N, k, dtype)
+
     e_single = lti._single(model.emis)
     if isinstance(model.emis, em.ScalarEmissions):
-        H, h, s = e_single.H, e_single.h, e_single.s
-        mu = xs.mean @ H + h
-        var = jnp.einsum("i,nij,j->n", H, xs.cov, H) + s
-        return mu, var
-    H_eff, h_eff, R_kind, R_payload = lti._effective_emission(e_single)
-    mu = xs.mean @ H_eff.T + h_eff
-    var = jnp.einsum("ij,njk,ik->ni", H_eff, xs.cov, H_eff)
-    if R_kind == "diag":
-        var = var + R_payload
+        H = e_single.H.astype(dtype)
+        h, s = e_single.h, e_single.s
+        mu = means_lat @ H + h
+        v_early = jnp.einsum("i,nij,j->n", H, P_early, H)
+        if P_ss is None:
+            var = v_early + s
+        else:
+            v_ss = H @ P_ss @ H
+            var = jnp.concatenate(
+                [v_early, jnp.broadcast_to(v_ss, (N - k,))]
+            ) + s
     else:
-        var = var + jnp.diagonal(R_payload)
+        H_eff, h_eff, R_kind, R_payload = lti._effective_emission(e_single)
+        H_eff = H_eff.astype(dtype)
+        mu = means_lat @ H_eff.T + h_eff
+        v_early = jnp.einsum("ij,njk,ik->ni", H_eff, P_early, H_eff)
+        if P_ss is None:
+            var = v_early
+        else:
+            v_ss = jnp.einsum("ij,jk,ik->i", H_eff, P_ss, H_eff)
+            var = jnp.concatenate(
+                [v_early, jnp.broadcast_to(v_ss, (N - k, v_ss.shape[0]))],
+                axis=0,
+            )
+        if R_kind == "diag":
+            var = var + R_payload
+        else:
+            var = var + jnp.diagonal(R_payload)
+    if not model.trans.forward:
+        mu, var = jnp.flip(mu, 0), jnp.flip(var, 0)
     return mu, var
