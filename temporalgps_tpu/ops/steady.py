@@ -197,6 +197,36 @@ def _check(model):
         )
 
 
+def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
+    """Hybrid filter shared by logpdf and the steady smoother.
+
+    Returns a dict with the exact warmup `q` (ops/lti._filter_pass on the
+    trimmed model), the constant late-segment operators `ops`, the late
+    filtering means (`means_late`, (N-k, D)) and late predicted means."""
+    dtype = model.trans.x0.dtype
+    y = jnp.asarray(y, dtype)
+    B_w = 16
+    while k % B_w:
+        B_w //= 2
+    q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=n_blocks or B_w)
+    m_start = q["means"][-1]
+
+    ops = _steady_ops(model, dtype, len(model))
+    y_late = y[k:]
+    A0, a0 = ops["A0"], ops["a0"]
+    if ops["scalar"]:
+        w = ops["c_w"][None, :] + (y_late - ops["h"])[:, None] * ops["K"][None, :]
+    else:
+        w = ops["c_w"][None, :] + y_late @ ops["K"].T
+    means_late = affine_const_states(ops["G"], w, m_start, block_len=block_len)
+    m_prev_late = jnp.concatenate([m_start[None], means_late[:-1]], axis=0)
+    m_pred_late = m_prev_late @ A0.T + a0
+    return dict(
+        q=q, ops=ops, y=y, y_late=y_late, m_start=m_start,
+        means_late=means_late, m_pred_late=m_pred_late, dtype=dtype,
+    )
+
+
 def logpdf(model, y, *, n_warmup=None, n_blocks=None, block_len=16):
     """lml of a Fill-parameter forward model, steady-state approximation
     beyond the first n_warmup (default 512) exactly-filtered steps."""
@@ -205,39 +235,19 @@ def logpdf(model, y, *, n_warmup=None, n_blocks=None, block_len=16):
     k = min(n_warmup or DEFAULT_WARMUP, N)
     if k >= N:
         return lti.logpdf(model, y, n_blocks=n_blocks)
-    dtype = model.trans.x0.dtype
-    y = jnp.asarray(y, dtype)
+    f = _filter_steady(model, y, k, block_len=block_len)
+    lp_early = lti._lml_from_filter(f["q"])
 
-    # exact first-k segment (ops/lti blocked pipeline on the trimmed model)
-    B_w = 16
-    while k % B_w:
-        B_w //= 2
-    q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=B_w)
-    lp_early = lti._lml_from_filter(q)
-    m_start = q["means"][-1]
-
-    # steady late segment
-    ops = _steady_ops(model, dtype, N)
-    y_late = y[k:]
+    ops, y_late, m_pred = f["ops"], f["y_late"], f["m_pred_late"]
     Mlen = N - k
-    A0, a0 = ops["A0"], ops["a0"]
     if ops["scalar"]:
-        w = ops["c_w"][None, :] + (y_late - ops["h"])[:, None] * ops["K"][None, :]
-        means = affine_const_states(ops["G"], w, m_start, block_len=block_len)
-        m_prev = jnp.concatenate([m_start[None], means[:-1]], axis=0)
-        m_pred = m_prev @ A0.T + a0
         r = y_late - (m_pred @ ops["H"] + ops["h"])
         lp_late = -0.5 * (
             Mlen * (ops["logdetS"] + math.log(2.0 * math.pi))
             + jnp.sum(r * r) / ops["S"]
         )
     else:
-        HA = ops["H_eff"] @ A0  # (Dout, D)
-        d0 = ops["H_eff"] @ a0 + ops["h_eff"]  # (Dout,)
-        w = ops["c_w"][None, :] + y_late @ ops["K"].T
-        means = affine_const_states(ops["G"], w, m_start, block_len=block_len)
-        m_prev = jnp.concatenate([m_start[None], means[:-1]], axis=0)
-        r = y_late - (m_prev @ HA.T + d0)
+        r = y_late - (m_pred @ ops["H_eff"].T + ops["h_eff"])
         quad = jnp.sum(r * (r @ ops["S_inv"].T))
         lp_late = -0.5 * (
             Mlen * (ops["logdetS"] + ops["Dout"] * math.log(2.0 * math.pi))
@@ -364,4 +374,141 @@ def marginals_diag(model, *, n_warmup=None):
             var = var + jnp.diagonal(R_payload)
     if not model.trans.forward:
         mu, var = jnp.flip(mu, 0), jnp.flip(var, 0)
+    return mu, var
+
+
+# ---------------------------------------------------------------------------
+# Steady-state RTS smoother (posterior marginals)
+# ---------------------------------------------------------------------------
+
+
+def _smoothed_cov_fixed_point(J_ss, C_mid, N):
+    """Fixed point of the backward covariance map X -> J X J' + C via
+    binary-power composition of the affine covariance map."""
+    Jp, Cp = J_ss, C_mid
+    for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
+        Cp = psd.symmetrize(Jp @ Cp @ Jp.T + Cp)
+        Jp = Jp @ Jp
+    return Cp
+
+
+def posterior_marginals_diag(model, y, *, emis=None, n_warmup=None,
+                             block_len=16, n_blocks=None):
+    """Observation-space smoothed marginals (means, vars) of a Fill model —
+    the steady counterpart of `marginals_diag(posterior(model, y))`
+    (reference semantics: src/models/lgssm.jl:193-240 + :125-141).
+
+    The smoothing covariance converges backwards to its own fixed point:
+    exact head (first n_warmup steps, per-step gains), constant middle,
+    exact tail (last ~n_warmup steps, constant gain from the filter end).
+    `emis` optionally replaces the emission container for prediction at new
+    outputs (all-Fill leaves; the DTC approx-posterior path). No missing
+    data — same restriction as logpdf."""
+    from ..config import POSTERIOR_JITTER
+
+    _check(model)
+    N = len(model)
+    k = min(n_warmup or DEFAULT_WARMUP, N)
+    emis_use = emis if emis is not None else model.emis
+    if N <= max(2 * k, 64):
+        # small-N: exact materialised smoother
+        from ..models import lgssm as lg
+        from ..models.lgssm import LGSSM
+
+        post = lti.posterior(model, y, n_blocks=n_blocks)
+        return lg.marginals_diag(LGSSM(post.trans, emis_use))
+
+    f = _filter_steady(model, y, k, block_len=block_len)
+    q, ops = f["q"], f["ops"]
+    dtype = f["dtype"]
+    A0 = ops["A0"]
+    D = model.latent_dim
+    P_ss_f, P_pred_ss = ops["P_ss"], ops["P_pred"]
+    kt = min(k, N - k)  # tail length; middle = N - k - kt >= 0
+
+    # smoother gains: exact head J_t = P_f[t] A' P_pred[t+1]^{-1} (t < k),
+    # constant J_ss beyond.
+    P_pred_next_head = jnp.concatenate(
+        [q["P_pred"][1:], P_pred_ss[None]], axis=0
+    )  # P_pred[t+1], t = 0..k-1
+    Lp = psd.cholesky(psd.add_jitter(P_pred_next_head, POSTERIOR_JITTER))
+    J_head = _mT(psd.chol_solve(Lp, A0 @ q["P_f"]))  # (k, D, D)
+    Lps = psd.cholesky(psd.add_jitter(P_pred_ss, POSTERIOR_JITTER))
+    J_ss = _mT(psd.chol_solve(Lps, A0 @ P_ss_f))
+
+    # ---- smoothed means ----
+    means_late, m_pred_late = f["means_late"], f["m_pred_late"]
+    # late segment t = k..N-2 backward with constant gain
+    w_mid = means_late[:-1] - m_pred_late[1:] @ J_ss.T
+    u = affine_const_states(
+        J_ss, jnp.flip(w_mid, 0), means_late[-1], block_len=block_len
+    )  # u[i] = m_s[N-2-i]
+    ms_late = jnp.concatenate([jnp.flip(u, 0), means_late[-1:]], axis=0)
+    # head t = k-1..0 backward with per-step gains (blocked affine engine)
+    from . import block as blk
+
+    m_pred_next_head = jnp.concatenate(
+        [q["m_pred"][1:], m_pred_late[:1]], axis=0
+    )
+    w_head = q["means"] - jnp.einsum("tij,tj->ti", J_head, m_pred_next_head)
+    sm = blk.affine_prefix_states(
+        jnp.flip(J_head, 0), jnp.flip(w_head, 0), None, ms_late[0], None,
+        n_blocks=n_blocks,
+    )
+    ms_head = jnp.flip(sm.mean, 0)
+    means_s = jnp.concatenate([ms_head, ms_late], axis=0)  # (N, D)
+
+    # ---- smoothed covariances (segment-wise; never (N, D, D)) ----
+    C_mid = psd.symmetrize(P_ss_f - J_ss @ P_pred_ss @ J_ss.T)
+    P_s_ss = _smoothed_cov_fixed_point(J_ss, C_mid, N)
+
+    def tail_step(P, _):
+        Pn = psd.symmetrize(C_mid + J_ss @ P @ J_ss.T)
+        return Pn, Pn
+
+    _, P_tail_rev_rest = jax.lax.scan(
+        tail_step, P_ss_f, None, length=kt - 1
+    )
+    P_tail_rev = jnp.concatenate([P_ss_f[None], P_tail_rev_rest], axis=0)
+    P_tail = jnp.flip(P_tail_rev, 0)  # t = N-kt .. N-1
+
+    def head_step(P_next, sl):
+        J_t, P_f_t, P_pred_n = sl
+        Pn = psd.symmetrize(
+            P_f_t + J_t @ (P_next - P_pred_n) @ _mT(J_t)
+        )
+        return Pn, Pn
+
+    _, P_head_rev = jax.lax.scan(
+        head_step, P_s_ss,
+        (jnp.flip(J_head, 0), jnp.flip(q["P_f"], 0),
+         jnp.flip(P_pred_next_head, 0)),
+    )
+    P_head = jnp.flip(P_head_rev, 0)  # t = 0..k-1
+
+    # ---- emission projection, segment-wise ----
+    e_single = lti._single(emis_use)
+    mid_len = N - k - kt
+    if isinstance(emis_use, em.ScalarEmissions):
+        H = e_single.H.astype(dtype)
+        h, s = e_single.h, e_single.s
+        mu = means_s @ H + h
+        v_head = jnp.einsum("i,nij,j->n", H, P_head, H)
+        v_mid = jnp.broadcast_to(H @ P_s_ss @ H, (mid_len,))
+        v_tail = jnp.einsum("i,nij,j->n", H, P_tail, H)
+        var = jnp.concatenate([v_head, v_mid, v_tail]) + s
+    else:
+        H_eff, h_eff, R_kind, R_payload = lti._effective_emission(e_single)
+        H_eff = H_eff.astype(dtype)
+        mu = means_s @ H_eff.T + h_eff
+        v_head = jnp.einsum("ij,njk,ik->ni", H_eff, P_head, H_eff)
+        v_mid = jnp.broadcast_to(
+            jnp.einsum("ij,jk,ik->i", H_eff, P_s_ss, H_eff),
+            (mid_len, H_eff.shape[0]),
+        )
+        v_tail = jnp.einsum("ij,njk,ik->ni", H_eff, P_tail, H_eff)
+        var = jnp.concatenate([v_head, v_mid, v_tail], axis=0)
+        var = var + (
+            R_payload if R_kind == "diag" else jnp.diagonal(R_payload)
+        )
     return mu, var

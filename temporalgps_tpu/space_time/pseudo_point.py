@@ -331,7 +331,6 @@ def approx_posterior_marginals(fx, y, z_r, x_r, *, engine=None):
     fx_dtc = dtcify(z_r, fx)
     model = build_lgssm(fx_dtc)
     y_tf = grids.observations_to_time_form(fx.x, jnp.asarray(y))
-    post = missings_mod.posterior_with_missings(model, y_tf, engine=engine)
 
     if isinstance(x_r, (grids.RectilinearGrid, grids.RegularInTime)):
         x_pr = x_r
@@ -340,6 +339,24 @@ def approx_posterior_marginals(fx, y, z_r, x_r, *, engine=None):
     k_dtc = dtcify(z_r, fx.f.f.kernel)
     (Cs, cs, Hs, hs), Sig = dtc_post_emissions(k_dtc, x_pr, dtype)
     new_emis = BottleneckEmissions(H=Hs, h=hs, C=Cs, c=cs, s_diag=Sig)
+
+    if engine == "steady":
+        # Fill fast path: steady RTS smoother with the prediction emissions
+        # projected segment-wise — never materialises the (N, D, D)
+        # reversed-dynamics chain. Fully-observed data only.
+        import jax.core as _core
+
+        from ..ops import steady
+
+        if not isinstance(y_tf, _core.Tracer) and bool(jnp.isnan(y_tf).any()):
+            raise ValueError(
+                "approx_posterior_marginals(engine='steady') requires "
+                "fully-observed data (no NaNs)"
+            )
+        m, v = steady.posterior_marginals_diag(model, y_tf, emis=new_emis)
+        return grids.destructure(x_pr, m), grids.destructure(x_pr, v)
+
+    post = missings_mod.posterior_with_missings(model, y_tf, engine=engine)
     new_model = LGSSM(post.trans, new_emis)
     m, v = lgssm_mod.marginals_diag(new_model, engine=engine)
     return grids.destructure(x_pr, m), grids.destructure(x_pr, v)

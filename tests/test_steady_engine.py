@@ -134,3 +134,58 @@ def test_rejects_det_blocks_and_non_fill(rng):
     model_irr = build_lgssm(fx_irr)
     with pytest.raises(ValueError, match="Fill"):
         lg.logpdf(model_irr, y, engine="steady")
+
+
+def test_posterior_marginals_diag_vs_exact(rng):
+    from temporalgps_tpu.models.lgssm import LGSSM
+    from temporalgps_tpu.ops import steady
+
+    model, _ = _scalar_model(N=2000)
+    y = jnp.asarray(rng.standard_normal(len(model)))
+    post = lg.posterior(model, y, engine="sequential")
+    m_ref, v_ref = lg.marginals_diag(LGSSM(post.trans, model.emis),
+                                     engine="sequential")
+    m_st, v_st = steady.posterior_marginals_diag(model, y, n_warmup=256)
+    np.testing.assert_allclose(np.asarray(m_st), np.asarray(m_ref),
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref),
+                               rtol=1e-8)
+
+
+def test_posterior_marginals_diag_small_n_delegates(rng):
+    from temporalgps_tpu.models.lgssm import LGSSM
+    from temporalgps_tpu.ops import steady
+
+    model, _ = _scalar_model(N=100)
+    y = jnp.asarray(rng.standard_normal(100))
+    post = lg.posterior(model, y, engine="sequential")
+    m_ref, v_ref = lg.marginals_diag(LGSSM(post.trans, model.emis),
+                                     engine="sequential")
+    m_st, v_st = steady.posterior_marginals_diag(model, y, n_warmup=256)
+    np.testing.assert_allclose(np.asarray(m_st), np.asarray(m_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref), rtol=1e-9)
+
+
+def test_dtc_approx_posterior_marginals_steady(rng):
+    from temporalgps_tpu.space_time import (
+        RectilinearGrid,
+        Separable,
+        approx_posterior_marginals,
+    )
+
+    Ns, Nt, M = 5, 1500, 4
+    r = jnp.asarray(np.linspace(-3, 3, Ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
+    k = Separable(EQ().stretch(0.7), Matern52())
+    fx = to_sde(GP(k))(x, 0.1)
+    y = jnp.asarray(np.asarray(rand(jax.random.PRNGKey(0), fx)))
+    z = jnp.asarray(np.linspace(-3, 3, M))
+    x_pr = RectilinearGrid(jnp.asarray(np.linspace(-2, 2, 4)),
+                           RegularSpacing(0.0, 0.05, Nt))
+
+    m_ref, v_ref = approx_posterior_marginals(fx, y, z, x_pr,
+                                              engine="sequential")
+    m_st, v_st = approx_posterior_marginals(fx, y, z, x_pr, engine="steady")
+    np.testing.assert_allclose(np.asarray(m_st), np.asarray(m_ref),
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref), rtol=5e-8)
