@@ -189,10 +189,16 @@ def _HtSinv_apply(ops, u):
     return u - jnp.einsum("...ji,...j->...i", ops["T"], Fi)
 
 
-def _filter_pass(model, y, n_blocks=None):
+def _filter_pass(model, y, n_blocks=None, cov_hi=False):
     """All filtering quantities of a Fill model: means/covs at every step,
     predicted means/covs, and the emission-side operators. Shared by
-    logpdf and posterior."""
+    logpdf and posterior.
+
+    cov_hi: run the constant-element-power covariance pass in f64 (when x64
+    is live) and cast down. Reverse-mode through the f32 power chain loses
+    accuracy linearly in N (measured: hyperparameter-grad rel error ~5e-5
+    per step at D=5), so short-N callers that feed gradients — the steady
+    engine's warmup — ask for the hi pass; its cost is O(N) tiny D-dim ops."""
     from . import block as blk
 
     D = model.latent_dim
@@ -206,15 +212,28 @@ def _filter_pass(model, y, n_blocks=None):
         B //= 2
     y = jnp.asarray(y, dtype)
 
+    cov_dtype = (
+        jnp.float64 if cov_hi and jax.config.jax_enable_x64 else dtype
+    )
     # Remat the covariance pass: its forward is cheap (data-free batched
     # combines) while its reverse residuals are several (N, D, D) tensors.
     P_f, e0, (A0, a0, Q0), e_single = jax.checkpoint(
-        lambda m: _cov_pass(m, N, B, dtype), static_argnums=()
+        lambda m: _cov_pass(m, N, B, cov_dtype), static_argnums=()
     )(model)
     P_prev = jnp.concatenate(
-        [psd.symmetrize(x0.cov)[None].astype(dtype), P_f[:-1]], axis=0
+        [psd.symmetrize(x0.cov)[None].astype(cov_dtype), P_f[:-1]], axis=0
     )
     P_pred = psd.symmetrize(A0 @ P_prev @ A0.T + Q0)
+    if cov_dtype != dtype:
+        P_f = P_f.astype(dtype)
+        P_prev = P_prev.astype(dtype)
+        P_pred = P_pred.astype(dtype)
+        A0, a0, Q0 = (x.astype(dtype) for x in (A0, a0, Q0))
+        e_single = jax.tree.map(
+            lambda l: l.astype(dtype)
+            if jnp.issubdtype(l.dtype, jnp.floating) else l,
+            e_single,
+        )
 
     scalar = isinstance(model.emis, em.ScalarEmissions)
     if scalar:

@@ -38,6 +38,7 @@ the steady-state shortcut is a TPU-native re-design with no reference
 counterpart.
 """
 
+import functools
 import math
 
 import jax
@@ -49,6 +50,18 @@ from ..utils.fill import Fill, is_fill
 from . import assoc, lti
 
 DEFAULT_WARMUP = 512
+
+
+def _hi(dtype):
+    """Precision for the O(1)-sized constant steady-state operators.
+
+    A relative error delta in logdetS / S enters the lml multiplied by N, so
+    the constant operators (converged covariance, gain, innovation factors)
+    are computed in f64 when x64 is live and cast to the working dtype; the
+    O(N) segment math stays in `dtype` (its rounding is incoherent, not a
+    bias). Measured: pure-f32 operators bias logpdf by ~3.5e-4 rel at any N
+    and corrupt small hyperparameter gradients by 30-50%."""
+    return jnp.float64 if jax.config.jax_enable_x64 else dtype
 
 
 def supported(model) -> bool:
@@ -71,17 +84,18 @@ def _steady_filter_cov(model, N, dtype):
     self-composition of the constant filtering element (data-free, so the
     b/eta components stay zero)."""
     D = model.latent_dim
-    e0, _, _ = lti._const_element(model, dtype)
-    E = (e0[0], jnp.zeros((D,), dtype), e0[2], jnp.zeros((D,), dtype), e0[4])
+    hi = _hi(dtype)
+    e0, _, _ = lti._const_element(model, hi)
+    E = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
     for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
         E = assoc._combine_filter(E, E)
     x0 = model.trans.x0
     prior = (
-        jnp.zeros((D, D), dtype),
-        x0.mean.astype(dtype),
-        psd.symmetrize(x0.cov).astype(dtype),
-        jnp.zeros((D,), dtype),
-        jnp.zeros((D, D), dtype),
+        jnp.zeros((D, D), hi),
+        x0.mean.astype(hi),
+        psd.symmetrize(x0.cov).astype(hi),
+        jnp.zeros((D,), hi),
+        jnp.zeros((D, D), hi),
     )
     return psd.symmetrize(assoc._combine_filter(prior, E)[2])
 
@@ -94,7 +108,22 @@ def affine_const_states(G, w, m0, *, block_len=16):
     (B, L*D) @ (L*D, L*D) matmul against a lower-triangular block-Toeplitz
     operator, block-start states via a log2(B)-level Kogge-Stone whose
     per-level op is a const-sided (B, D) @ (D, D) matmul, and the final
-    within-block expansion as one (L*D, D) @ (D, B) matmul."""
+    within-block expansion as one (L*D, D) @ (D, B) matmul.
+
+    Reverse mode is a custom VJP: the adjoint of a constant-matrix affine
+    recursion is the SAME recursion run with G^T on the flipped cotangents
+    (lambda_t = mbar_t + G' lambda_{t+1}), so the backward pass re-enters
+    this forward kernel instead of XLA's transposed Kogge-Stone (which
+    blew up the TPU compile at M ~ 1e6)."""
+    return _acs(G, w, m0, block_len)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _acs(G, w, m0, block_len):
+    return _acs_impl(G, w, m0, block_len)
+
+
+def _acs_impl(G, w, m0, block_len):
     M, D = w.shape
     dtype = w.dtype
     L = min(block_len, M)
@@ -141,17 +170,41 @@ def affine_const_states(G, w, m0, *, block_len=16):
     return (lead + W).reshape(B * L, D)[:M]
 
 
+def _acs_fwd(G, w, m0, block_len):
+    m = _acs_impl(G, w, m0, block_len)
+    return m, (G, w, m0, m)
+
+
+def _acs_bwd(block_len, res, mbar):
+    G, w, m0, m = res
+    # lambda_t = mbar_t + G' lambda_{t+1}  (lambda_{M+1} = 0)
+    lam = jnp.flip(
+        _acs_impl(G.T, jnp.flip(mbar, 0), jnp.zeros_like(m0), block_len), 0
+    )
+    m_prev = jnp.concatenate([m0[None], m[:-1]], axis=0)
+    G_bar = lam.T @ m_prev           # sum_t lambda_t m_{t-1}'
+    m0_bar = G.T @ lam[0]
+    return G_bar, lam, m0_bar
+
+
+_acs.defvjp(_acs_fwd, _acs_bwd)
+
+
 def _steady_ops(model, dtype, N):
-    """Constant late-segment operators from the converged covariance."""
-    P_ss = _steady_filter_cov(model, N, dtype)
-    A0 = model.trans.As.value.astype(dtype)
-    a0 = model.trans.offs.value.astype(dtype)
-    Q0 = model.trans.Qs.value.astype(dtype)
+    """Constant late-segment operators from the converged covariance.
+
+    Everything here is O(1)-sized (D- and Dout-dim), computed in `_hi`
+    precision, and cast to the working dtype on the way out — see `_hi`."""
+    hi = _hi(dtype)
+    P_ss = _steady_filter_cov(model, N, dtype)  # already hi
+    A0 = model.trans.As.value.astype(hi)
+    a0 = model.trans.offs.value.astype(hi)
+    Q0 = model.trans.Qs.value.astype(hi)
     P_pred = psd.symmetrize(A0 @ P_ss @ A0.T + Q0)
     e_single = lti._single(model.emis)
     out = dict(A0=A0, a0=a0, P_ss=P_ss, P_pred=P_pred)
     if isinstance(model.emis, em.ScalarEmissions):
-        H, h, s = e_single.H.astype(dtype), e_single.h, e_single.s
+        H, h, s = e_single.H.astype(hi), e_single.h.astype(hi), e_single.s.astype(hi)
         PH = P_pred @ H
         S = H @ PH + s
         K = PH / S  # (D,)
@@ -161,25 +214,35 @@ def _steady_ops(model, dtype, N):
                    logdetS=jnp.log(S))
     else:
         H_eff, h_eff, R_kind, R_payload = lti._effective_emission(e_single)
-        H_eff = H_eff.astype(dtype)
-        h_eff = h_eff.astype(dtype)
+        H_eff = H_eff.astype(hi)
+        h_eff = h_eff.astype(hi)
         Dout = H_eff.shape[0]
         if R_kind == "diag":
-            R = jnp.zeros((Dout, Dout), dtype).at[
+            R = jnp.zeros((Dout, Dout), hi).at[
                 jnp.arange(Dout), jnp.arange(Dout)
-            ].set(R_payload.astype(dtype))
+            ].set(R_payload.astype(hi))
         else:
-            R = R_payload.astype(dtype)
+            R = R_payload.astype(hi)
         S = psd.symmetrize(H_eff @ P_pred @ H_eff.T + R)
         Ls = psd.cholesky(S)
-        S_inv = psd.chol_solve(Ls, jnp.eye(Dout, dtype=dtype))
+        S_inv = psd.chol_solve(Ls, jnp.eye(Dout, dtype=hi))
         K = P_pred @ (H_eff.T @ S_inv)  # (D, Dout)
         G = A0 - K @ (H_eff @ A0)
         c_w = a0 - K @ (H_eff @ a0 + h_eff)
         out.update(scalar=False, H_eff=H_eff, h_eff=h_eff, S_inv=S_inv,
                    K=K, G=G, c_w=c_w, logdetS=psd.logdet_from_chol(Ls),
                    Dout=Dout)
-    return out
+    cast = {
+        k: (v.astype(dtype) if isinstance(v, jnp.ndarray) and
+            jnp.issubdtype(v.dtype, jnp.floating) else v)
+        for k, v in out.items()
+    }
+    # hi-precision copies for the smoother's constant-gain algebra (a bias
+    # in J_ss drifts the smoothed means across the whole late segment)
+    cast["P_ss_hi"] = P_ss
+    cast["P_pred_hi"] = P_pred
+    cast["A0_hi"] = A0
+    return cast
 
 
 def _check(model):
@@ -208,7 +271,8 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
     B_w = 16
     while k % B_w:
         B_w //= 2
-    q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=n_blocks or B_w)
+    q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=n_blocks or B_w,
+                         cov_hi=True)
     m_start = q["means"][-1]
 
     ops = _steady_ops(model, dtype, len(model))
@@ -315,11 +379,12 @@ def _prior_cov_segments(model, N, k, dtype):
     P_early = psd.symmetrize(At @ P0 @ _mT(At) + E_pows[2])
     if k >= N:
         return P_early[:N], None
-    E = jax.tree_util.tree_map(lambda l: l[-1], E_pows)
+    hi = _hi(dtype)
+    E = jax.tree_util.tree_map(lambda l: l[-1].astype(hi), E_pows)
     for _ in range(max(1, math.ceil(math.log2(max(N // max(k, 1), 2))))):
         E = assoc._combine_affine(E, E)
-    P_ss = psd.symmetrize(E[0] @ P0 @ E[0].T + E[2])
-    return P_early, P_ss
+    P_ss = psd.symmetrize(E[0] @ P0.astype(hi) @ E[0].T + E[2])
+    return P_early, P_ss.astype(dtype)
 
 
 def marginals_diag(model, *, n_warmup=None):
@@ -433,8 +498,11 @@ def posterior_marginals_diag(model, y, *, emis=None, n_warmup=None,
     )  # P_pred[t+1], t = 0..k-1
     Lp = psd.cholesky(psd.add_jitter(P_pred_next_head, POSTERIOR_JITTER))
     J_head = _mT(psd.chol_solve(Lp, A0 @ q["P_f"]))  # (k, D, D)
-    Lps = psd.cholesky(psd.add_jitter(P_pred_ss, POSTERIOR_JITTER))
-    J_ss = _mT(psd.chol_solve(Lps, A0 @ P_ss_f))
+    # constant gain in hi precision: a bias in J_ss drifts the smoothed
+    # means over the entire late segment (see _hi)
+    Lps = psd.cholesky(psd.add_jitter(ops["P_pred_hi"], POSTERIOR_JITTER))
+    J_ss_hi = _mT(psd.chol_solve(Lps, ops["A0_hi"] @ ops["P_ss_hi"]))
+    J_ss = J_ss_hi.astype(dtype)
 
     # ---- smoothed means ----
     means_late, m_pred_late = f["means_late"], f["m_pred_late"]
@@ -459,8 +527,12 @@ def posterior_marginals_diag(model, y, *, emis=None, n_warmup=None,
     means_s = jnp.concatenate([ms_head, ms_late], axis=0)  # (N, D)
 
     # ---- smoothed covariances (segment-wise; never (N, D, D)) ----
-    C_mid = psd.symmetrize(P_ss_f - J_ss @ P_pred_ss @ J_ss.T)
-    P_s_ss = _smoothed_cov_fixed_point(J_ss, C_mid, N)
+    C_mid_hi = psd.symmetrize(
+        ops["P_ss_hi"] - J_ss_hi @ ops["P_pred_hi"] @ J_ss_hi.T
+    )
+    P_s_ss_hi = _smoothed_cov_fixed_point(J_ss_hi, C_mid_hi, N)
+    C_mid = C_mid_hi.astype(dtype)
+    P_s_ss = P_s_ss_hi.astype(dtype)
 
     def tail_step(P, _):
         Pn = psd.symmetrize(C_mid + J_ss @ P @ J_ss.T)

@@ -189,3 +189,37 @@ def test_dtc_approx_posterior_marginals_steady(rng):
     np.testing.assert_allclose(np.asarray(m_st), np.asarray(m_ref),
                                rtol=0, atol=1e-8)
     np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref), rtol=5e-8)
+
+
+def test_f32_grad_accuracy_vs_f64_truth(rng):
+    """f32 steady hyperparameter gradients within ~1e-3 of the f64 truth.
+
+    Regression for two measured f32 failure modes (both warmup-side):
+    pure-f32 constant steady-state operators bias the lml by ~3.5e-4 rel at
+    any N (fixed: ops/steady._hi), and f32 reverse-mode through the lti
+    warmup's constant-element power chain loses accuracy ~linearly in the
+    warmup length, 2.5e-2 rel at k=512 (fixed: _filter_pass(cov_hi=True)).
+    """
+    N = 4096
+    yv = rng.standard_normal(N)
+
+    def mk(dtype):
+        x = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), N)
+        y = jnp.asarray(yv, dtype)
+
+        def loss(p):
+            from temporalgps_tpu.gp import ArrayStorage
+
+            s2, sc, noise = jnp.exp(p)
+            kern = (s2 * Matern52()).stretch(sc)
+            fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
+            return lg.logpdf(build_lgssm(fx), y, engine="steady")
+
+        return loss
+
+    p64 = jnp.asarray([0.1, -0.2, -2.0], jnp.float64)
+    g64 = np.asarray(jax.grad(mk(jnp.float64))(p64), np.float64)
+    g32 = np.asarray(jax.grad(mk(jnp.float32))(p64.astype(jnp.float32)),
+                     np.float64)
+    rel = np.abs(g32 - g64) / (np.abs(g64) + 1e-6)
+    assert rel.max() < 2e-3, (g32, g64, rel)
