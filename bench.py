@@ -34,6 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+if os.environ.get("TGPS_BENCH_CPU", "") == "1":
+    # smoke-test logic on CPU (the env var alone is overridden by the axon
+    # TPU plugin; jax.config wins — see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/tgps_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -362,34 +367,66 @@ def config5():
     from temporalgps_tpu.space_time import RectilinearGrid, Separable, elbo
 
     dtype = jnp.float32
-    Ns, Nt, M = (5, 2_000, 3) if SMOKE else (50, 100_000, 5)
+    Ns = 5 if SMOKE else 50
+    Nt_blk, M = (2_000, 3) if SMOKE else (100_000, 5)
+    Nt_st = 4_000 if SMOKE else 1_000_000  # BASELINE spec scale (1M+)
     r = jnp.asarray(np.linspace(-3, 3, Ns), dtype)
     z = jnp.asarray(np.linspace(-3, 3, M), dtype)
-    x = RectilinearGrid(r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), Nt))
-    y = jnp.asarray(np.random.default_rng(0).standard_normal(Nt * Ns), dtype)
+    rng0 = np.random.default_rng(0)
 
-    def elbo_fn(p, y_, engine):
-        s2, sc, noise = jnp.exp(p)
-        kern = s2 * Separable(EQ().stretch(sc), Matern52())
-        fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
-        return elbo(fx, y_, z, engine=engine)
+    def setup(Nt):
+        x = RectilinearGrid(
+            r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), Nt)
+        )
+        y = jnp.asarray(rng0.standard_normal(Nt * Ns), dtype)
+
+        def elbo_fn(p, y_, engine):
+            s2, sc, noise = jnp.exp(p)
+            kern = s2 * Separable(EQ().stretch(sc), Matern52())
+            fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
+            return elbo(fx, y_, z, engine=engine)
+
+        return y, elbo_fn
 
     p0 = jnp.asarray([0.0, 0.0, -2.3], dtype)
-    f = jax.jit(lambda p, y_: elbo_fn(p, y_, "block"))
-    dt_f, cs, _ = timed(f, p0, y, iters=3 if SMOKE else 5)
-    log(f"c5 DTC elbo Ns={Ns} M={M} Nt={Nt}: {dt_f*1e3:.2f} ms compile {cs:.0f}s")
-    g = jax.jit(jax.value_and_grad(lambda p, y_: elbo_fn(p, y_, "block")))
-    dt_g, cs_g, _ = timed(g, p0, y, iters=3)
-    log(f"c5 DTC elbo+grad Ns={Ns} M={M} Nt={Nt}: {dt_g*1e3:.2f} ms compile {cs_g:.0f}s")
+
+    # baseline: the exact block engine at Nt=100k (grad path)
+    y_b, fn_b = setup(Nt_blk)
+    g_blk = jax.jit(jax.value_and_grad(lambda p, y_: fn_b(p, y_, "block")))
+    dt_blk, cs_b, _ = timed(g_blk, p0, y_b, iters=3)
+    log(f"c5 block elbo+grad Ns={Ns} M={M} Nt={Nt_blk}: {dt_blk*1e3:.2f} ms "
+        f"compile {cs_b:.0f}s")
+
+    # headline: the steady engine at BASELINE spec scale Nt=1M
+    y_s, fn_s = setup(Nt_st)
+    f = jax.jit(lambda p, y_: fn_s(p, y_, "steady"))
+    dt_f, cs, _ = timed(f, p0, y_s, iters=3 if SMOKE else 5)
+    log(f"c5 steady elbo Ns={Ns} M={M} Nt={Nt_st}: {dt_f*1e3:.2f} ms compile {cs:.0f}s")
+    g = jax.jit(jax.value_and_grad(lambda p, y_: fn_s(p, y_, "steady")))
+    dt_g, cs_g, _ = timed(g, p0, y_s, iters=3)
+    log(f"c5 steady elbo+grad Ns={Ns} M={M} Nt={Nt_st}: {dt_g*1e3:.2f} ms "
+        f"compile {cs_g:.0f}s")
+    # grad cross-check at the block scale (values must agree; see
+    # tests/test_steady_engine.py for the tolerance provenance)
+    g_st_small = jax.jit(jax.value_and_grad(lambda p, y_: fn_b(p, y_, "steady")))
+    v1, gr1 = g_blk(p0, y_b)
+    v2, gr2 = g_st_small(p0, y_b)
+    rel_v = abs(float(v1) - float(v2)) / abs(float(v1))
+    rel_g = float(jnp.max(jnp.abs(gr1 - gr2) / (jnp.abs(gr1) + 1e-4)))
+    log(f"c5 steady-vs-block cross-check: value rel {rel_v:.2e} grad rel {rel_g:.2e}")
     return {
-        "value": round(Ns * Nt / dt_g, 1),
+        "value": round(Ns * Nt_st / dt_g, 1),
         "unit": "elbo+grad obs/s",
-        "vs_baseline": round(dt_f / dt_g, 3),
+        # per-observation speedup of the steady path over the exact block path
+        "vs_baseline": round((dt_blk / (Ns * Nt_blk)) / (dt_g / (Ns * Nt_st)), 2),
         "detail": {
-            "Nt": Nt,
+            "Nt": Nt_st,
             "M": M,
             "elbo_ms": round(dt_f * 1e3, 2),
             "elbo_grad_ms": round(dt_g * 1e3, 2),
+            "block_Nt100k_grad_ms": round(dt_blk * 1e3, 2),
+            "crosscheck_value_rel": f"{rel_v:.2e}",
+            "crosscheck_grad_rel": f"{rel_g:.2e}",
         },
     }
 
