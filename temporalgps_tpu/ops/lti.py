@@ -73,6 +73,28 @@ def _ident_elem(D, dtype):
     )
 
 
+def _all_powers(E1, L, combine):
+    """E^1..E^L (batched on axis 0) by binary doubling: each level is ONE
+    width-m batched combine, so depth is log2 L instead of L. Under f64
+    emulation a length-L lax.scan pays L x (ops-per-combine x ~20) per-op
+    dispatch (~13 ms at L=32 on v5e); this form is ~log2 L fat combines."""
+    E_pows = jax.tree.map(lambda x: x[None], E1)
+    m = 1
+    while m < L:
+        E_m = jax.tree.map(lambda x: x[m - 1], E_pows)
+        take = min(m, L - m)
+        head = jax.tree.map(lambda x: x[:take], E_pows)
+        E_m_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (take,) + x.shape), E_m
+        )
+        nxt = combine(E_m_b, head)  # E^(m+1)..E^(m+take)
+        E_pows = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), E_pows, nxt
+        )
+        m += take
+    return E_pows
+
+
 def _const_element(model, dtype):
     """The shared per-step filtering element at y=0 (only its data-free
     (A, C, J) components are consumed). Uses the same element constructor as
@@ -94,24 +116,32 @@ def _const_element(model, dtype):
     return e0, (A0, a0, Q0), e_single
 
 
-def _cov_pass(model, N, B, dtype):
+def _cov_pass(model, N, B, dtype, hi_mode=None):
     """Filtering covariance at every step via constant-element powers.
 
     Returns (P_f (N, D, D) with P_f[t] = filtering cov after step t+1,
     e0, trans values, single emission). N must equal B*L exactly.
+
+    hi_mode: None (all work in `dtype`), "chain" (only the DEEP
+    compositions — the L-step power scan and the log2(B) block-start scan —
+    run in f64, cast down before the depth-1 batched outer combine), or
+    "full" (the whole pass in f64, cast on return). Reverse-mode through
+    the f32 power chain loses gradient accuracy linearly in chain depth
+    (measured ~5e-5/step rel at D=5); "chain" removes the depth-growing
+    term leaving a flat ~3e-3 rel residual, "full" reaches ~4e-5 at the
+    cost of f64 for the O(N) outer combine too. Callers pick by how much
+    f64 (TPU-emulated, ~10-30x) they can afford; the steady warmup uses
+    "full" (its N is the small warmup length).
     """
     D = model.latent_dim
     L = N // B
     assert B * L == N, (N, B)
-    e0, trans0, e_single = _const_element(model, dtype)
-    E1 = (e0[0], jnp.zeros((D,), dtype), e0[2], jnp.zeros((D,), dtype), e0[4])
+    hi = jnp.float64 if hi_mode and jax.config.jax_enable_x64 else dtype
+    e0, trans0, e_single = _const_element(model, hi)
+    E1 = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
 
-    # within-block powers E^1..E^L (unbatched tiny scan)
-    def pow_step(carry, _):
-        nxt = assoc._combine_filter(carry, E1)
-        return nxt, nxt
-
-    _, E_pows = jax.lax.scan(pow_step, _ident_elem(D, dtype), None, length=L)
+    # within-block powers E^1..E^L by binary doubling (see _all_powers)
+    E_pows = _all_powers(E1, L, assoc._combine_filter)
     E_L = jax.tree.map(lambda x: x[-1], E_pows)
 
     # block-start powers E^(bL), b = 0..B-1 (identity at b=0)
@@ -120,24 +150,36 @@ def _cov_pass(model, N, B, dtype):
             lambda x: jnp.broadcast_to(x, (B - 1,) + x.shape), E_L
         )
         S = jax.lax.associative_scan(assoc._combine_filter, E_L_b, axis=0)
-        ident_b = jax.tree.map(lambda x: x[None], _ident_elem(D, dtype))
+        ident_b = jax.tree.map(lambda x: x[None], _ident_elem(D, hi))
         S = jax.tree.map(
             lambda i, s: jnp.concatenate([i, s], axis=0), ident_b, S
         )
     else:
-        S = jax.tree.map(lambda x: x[None], _ident_elem(D, dtype))
+        S = jax.tree.map(lambda x: x[None], _ident_elem(D, hi))
 
     # prior-composed block starts, then the (B, L)-batched outer combine
     x0 = model.trans.x0
     prior = (
-        jnp.zeros((D, D), dtype),
-        x0.mean.astype(dtype),
-        psd.symmetrize(x0.cov).astype(dtype),
-        jnp.zeros((D,), dtype),
-        jnp.zeros((D, D), dtype),
+        jnp.zeros((D, D), hi),
+        x0.mean.astype(hi),
+        psd.symmetrize(x0.cov).astype(hi),
+        jnp.zeros((D,), hi),
+        jnp.zeros((D, D), hi),
     )
     prior_b = jax.tree.map(lambda x: x[None], prior)
     St = assoc._combine_filter(prior_b, S)  # (B, ...)
+
+    if hi != dtype and hi_mode == "chain":
+        St = jax.tree.map(lambda x: x.astype(dtype), St)
+        E_pows = jax.tree.map(lambda x: x.astype(dtype), E_pows)
+    if hi != dtype:
+        e0 = jax.tree.map(lambda x: x.astype(dtype), e0)
+        trans0 = tuple(x.astype(dtype) for x in trans0)
+        e_single = jax.tree.map(
+            lambda l: l.astype(dtype)
+            if jnp.issubdtype(l.dtype, jnp.floating) else l,
+            e_single,
+        )
 
     Ep_e = jax.tree.map(lambda x: x[None], E_pows)      # (1, L, ...)
 
@@ -160,7 +202,7 @@ def _cov_pass(model, N, B, dtype):
             lambda x: x.reshape((B // C, C) + x.shape[1:]), St
         )
         P_f = jax.lax.map(chunk_cov, St_c).reshape((N, D, D))
-    return P_f, e0, trans0, e_single
+    return P_f.astype(dtype), e0, trans0, e_single
 
 
 def _gain_ops_vector(P_pred, H, R_isqrt_fn, dtype):
@@ -194,11 +236,12 @@ def _filter_pass(model, y, n_blocks=None, cov_hi=False):
     predicted means/covs, and the emission-side operators. Shared by
     logpdf and posterior.
 
-    cov_hi: run the constant-element-power covariance pass in f64 (when x64
-    is live) and cast down. Reverse-mode through the f32 power chain loses
+    cov_hi: hi_mode forwarded to _cov_pass (None, "chain", or "full";
+    True means "full"). Reverse-mode through the f32 power chain loses
     accuracy linearly in N (measured: hyperparameter-grad rel error ~5e-5
     per step at D=5), so short-N callers that feed gradients — the steady
-    engine's warmup — ask for the hi pass; its cost is O(N) tiny D-dim ops."""
+    engine's warmup — ask for a hi pass; its N is the small warmup length
+    so the f64 cost is bounded."""
     from . import block as blk
 
     D = model.latent_dim
@@ -212,28 +255,17 @@ def _filter_pass(model, y, n_blocks=None, cov_hi=False):
         B //= 2
     y = jnp.asarray(y, dtype)
 
-    cov_dtype = (
-        jnp.float64 if cov_hi and jax.config.jax_enable_x64 else dtype
-    )
     # Remat the covariance pass: its forward is cheap (data-free batched
     # combines) while its reverse residuals are several (N, D, D) tensors.
     P_f, e0, (A0, a0, Q0), e_single = jax.checkpoint(
-        lambda m: _cov_pass(m, N, B, cov_dtype), static_argnums=()
+        lambda m: _cov_pass(m, N, B, dtype,
+                            hi_mode="full" if cov_hi is True else cov_hi),
+        static_argnums=()
     )(model)
     P_prev = jnp.concatenate(
-        [psd.symmetrize(x0.cov)[None].astype(cov_dtype), P_f[:-1]], axis=0
+        [psd.symmetrize(x0.cov)[None].astype(dtype), P_f[:-1]], axis=0
     )
     P_pred = psd.symmetrize(A0 @ P_prev @ A0.T + Q0)
-    if cov_dtype != dtype:
-        P_f = P_f.astype(dtype)
-        P_prev = P_prev.astype(dtype)
-        P_pred = P_pred.astype(dtype)
-        A0, a0, Q0 = (x.astype(dtype) for x in (A0, a0, Q0))
-        e_single = jax.tree.map(
-            lambda l: l.astype(dtype)
-            if jnp.issubdtype(l.dtype, jnp.floating) else l,
-            e_single,
-        )
 
     scalar = isinstance(model.emis, em.ScalarEmissions)
     if scalar:
@@ -410,16 +442,12 @@ def latent_marginals(model, *, n_blocks=None) -> Gaussian:
     Q0 = model.trans.Qs.value.astype(dtype)
     E1 = (A0, a0, psd.symmetrize(Q0))
 
-    def pow_step(carry, _):
-        nxt = assoc._combine_affine(carry, E1)
-        return nxt, nxt
-
     ident = (
         jnp.eye(D, dtype=dtype),
         jnp.zeros((D,), dtype),
         jnp.zeros((D, D), dtype),
     )
-    _, E_pows = jax.lax.scan(pow_step, ident, None, length=L)
+    E_pows = _all_powers(E1, L, assoc._combine_affine)
     E_L = jax.tree.map(lambda x: x[-1], E_pows)
     if B > 1:
         E_L_b = jax.tree.map(

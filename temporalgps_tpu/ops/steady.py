@@ -271,8 +271,13 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
     B_w = 16
     while k % B_w:
         B_w //= 2
+    # warmup covariance pass precision: "full" f64 gives ~4e-5 rel f32
+    # hyperparameter grads but pays f64 for the O(k) outer combine —
+    # cheap at small D, ~100s of ms at D~30 on TPU; "chain" bounds the f64
+    # work to the log-depth power chain (flat ~3e-3 rel grads).
+    hi_mode = "full" if model.latent_dim <= 8 else "chain"
     q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=n_blocks or B_w,
-                         cov_hi=True)
+                         cov_hi=hi_mode)
     m_start = q["means"][-1]
 
     ops = _steady_ops(model, dtype, len(model))
@@ -366,14 +371,7 @@ def _prior_cov_segments(model, N, k, dtype):
     Q0 = psd.symmetrize(model.trans.Qs.value.astype(dtype))
     x0 = model.trans.x0
     E1 = (A0, jnp.zeros((D,), dtype), Q0)
-
-    def pow_step(carry, _):
-        nxt = assoc._combine_affine(carry, E1)
-        return nxt, nxt
-
-    ident = (jnp.eye(D, dtype=dtype), jnp.zeros((D,), dtype),
-             jnp.zeros((D, D), dtype))
-    _, E_pows = jax.lax.scan(pow_step, ident, None, length=k)
+    E_pows = lti._all_powers(E1, k, assoc._combine_affine)
     P0 = psd.symmetrize(x0.cov).astype(dtype)
     At = E_pows[0]  # (k, D, D)
     P_early = psd.symmetrize(At @ P0 @ _mT(At) + E_pows[2])

@@ -32,7 +32,7 @@ def test_sharded_logpdf_matches_single(rng):
     assert len(devs) == 8
     mesh = Mesh(np.array(devs), ("t",))
     model, y = _model_and_y(rng)
-    lp_sharded = float(sharded_logpdf(model, y, mesh))
+    lp_sharded = float(jax.jit(lambda y_: sharded_logpdf(model, y_, mesh))(y))
     lp_single = float(logpdf(model, y, engine="sequential"))
     np.testing.assert_allclose(lp_sharded, lp_single, rtol=1e-9, atol=1e-9)
 
@@ -40,7 +40,7 @@ def test_sharded_logpdf_matches_single(rng):
 def test_sharded_logpdf_irregular(rng):
     mesh = Mesh(np.array(jax.devices()), ("t",))
     model, y = _model_and_y(rng, irregular=True)
-    lp_sharded = float(sharded_logpdf(model, y, mesh))
+    lp_sharded = float(jax.jit(lambda y_: sharded_logpdf(model, y_, mesh))(y))
     lp_single = float(logpdf(model, y, engine="sequential"))
     np.testing.assert_allclose(lp_sharded, lp_single, rtol=1e-9, atol=1e-9)
 
@@ -50,7 +50,9 @@ def test_sharded_logpdf_dp_batch(rng):
     mesh = Mesh(devs, ("dp", "t"))
     model, _ = _model_and_y(rng)
     ys = jnp.asarray(rng.standard_normal((4, N)))
-    lp = float(sharded_logpdf(model, ys, mesh, batch_axis="dp"))
+    lp = float(jax.jit(
+        lambda ys_: sharded_logpdf(model, ys_, mesh, batch_axis="dp")
+    )(ys))
     want = sum(float(logpdf(model, ys[i], engine="sequential")) for i in range(4))
     np.testing.assert_allclose(lp, want, rtol=1e-9, atol=1e-8)
 
@@ -118,7 +120,9 @@ def test_sharded_posterior_marginals_irregular(rng):
 
     mesh = Mesh(np.array(jax.devices()), ("t",))
     model, y = _model_and_y(rng, irregular=True)
-    mean_sh, var_sh = sharded_posterior_marginals(model, y, mesh)
+    mean_sh, var_sh = jax.jit(
+        lambda y_: sharded_posterior_marginals(model, y_, mesh)
+    )(y)
     post = lg.posterior(model, y, engine="sequential")
     mref, vref = lg.marginals_diag(post, engine="sequential")
     np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mref), atol=1e-9)
@@ -131,7 +135,11 @@ def test_sharded_posterior_latent_chain(rng):
 
     mesh = Mesh(np.array(jax.devices()), ("t",))
     model, y = _model_and_y(rng)
-    xs = sharded_posterior_marginals(model, y, mesh, observation_space=False)
+    xs = jax.jit(
+        lambda y_: sharded_posterior_marginals(
+            model, y_, mesh, observation_space=False
+        )
+    )(y)
     post = lg.posterior(model, y, engine="sequential")
     ref = lg.latent_marginals(post, engine="sequential")
     np.testing.assert_allclose(np.asarray(xs.mean), np.asarray(ref.mean), atol=1e-9)
@@ -148,19 +156,24 @@ def test_sharded_posterior_rand_statistics(rng):
 
     mesh = Mesh(np.array(jax.devices()), ("t",))
     model, y = _model_and_y(rng)
-    mean_sh, var_sh = sharded_posterior_marginals(model, y, mesh)
+    mean_sh, var_sh = jax.jit(
+        lambda y_: sharded_posterior_marginals(model, y_, mesh)
+    )(y)
     lat_var = np.asarray(var_sh) - 0.2  # _model_and_y noise
-    ks = jax.random.split(jax.random.PRNGKey(3), 300)
+    S = 128
+    ks = jax.random.split(jax.random.PRNGKey(3), S)
     samps = np.asarray(
-        jax.vmap(lambda k: sharded_posterior_rand(k, model, y, mesh))(ks)
+        jax.jit(
+            jax.vmap(lambda k: sharded_posterior_rand(k, model, y, mesh))
+        )(ks)
     )
-    assert samps.shape == (300, N)
+    assert samps.shape == (S, N)
     assert np.all(np.isfinite(samps))
-    se_mean = np.sqrt(lat_var / 300)
+    se_mean = np.sqrt(lat_var / S)
     np.testing.assert_array_less(
         np.abs(samps.mean(0) - np.asarray(mean_sh)), 5 * se_mean + 1e-12
     )
-    se_var = lat_var * np.sqrt(2.0 / 299)
+    se_var = lat_var * np.sqrt(2.0 / (S - 1))
     np.testing.assert_array_less(
         np.abs(samps.var(0, ddof=1) - lat_var), 6 * se_var + 1e-12
     )
@@ -184,7 +197,7 @@ def test_sharded_logpdf_spacetime_vector_emissions(rng):
     model = api.build_lgssm(fx)
     y_tf = jnp.asarray(rng.standard_normal((nt, ns)))
     mesh = Mesh(np.array(jax.devices()), ("t",))
-    lp_sh = float(sharded_logpdf(model, y_tf, mesh))
+    lp_sh = float(jax.jit(lambda y_: sharded_logpdf(model, y_, mesh))(y_tf))
     lp_1 = float(lg.logpdf(model, y_tf, engine="sequential"))
     np.testing.assert_allclose(lp_sh, lp_1, rtol=1e-9)
 
@@ -233,11 +246,11 @@ def test_sharded_posterior_rand_vector_emissions(rng):
 
     mesh = Mesh(np.array(jax.devices()), ("t",))
     model, y_tf = _spacetime_model(rng, ns=6, nt=32)
-    keys = jax.random.split(jax.random.PRNGKey(0), 600)
-    samp = jax.vmap(
-        lambda k: sharded_posterior_rand(k, model, y_tf, mesh)
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    samp = jax.jit(
+        jax.vmap(lambda k: sharded_posterior_rand(k, model, y_tf, mesh))
     )(keys)
-    assert samp.shape == (600, 32, 6)
+    assert samp.shape == (200, 32, 6)
     post = lg.posterior(model, y_tf, engine="sequential")
     xs = lg.latent_marginals(post, engine="sequential")
     from temporalgps_tpu.utils.fill import tmaterialize
@@ -246,5 +259,5 @@ def test_sharded_posterior_rand_vector_emissions(rng):
     emis_b = tmaterialize(model.emis)
     mean_ref = _emission_mean(emis_b, xs.mean)
     np.testing.assert_allclose(
-        np.asarray(samp.mean(0)), np.asarray(mean_ref), atol=0.12
+        np.asarray(samp.mean(0)), np.asarray(mean_ref), atol=0.2
     )

@@ -15,7 +15,16 @@ from temporalgps_tpu import RegularSpacing
 from temporalgps_tpu.gp import EQ, GP, Cosine, Matern52, to_sde, rand
 from temporalgps_tpu.gp.lti_sde import build_lgssm
 from temporalgps_tpu.models import lgssm as lg
+from temporalgps_tpu.ops import steady as steady_mod
 from temporalgps_tpu.ops.steady import affine_const_states
+
+
+@pytest.fixture(autouse=True)
+def short_warmup(monkeypatch):
+    """Shrink the default warmup so the steady branch is exercised at
+    test-sized N (the engine contract only needs n_warmup >~ 5/(lambda dt);
+    lambda*dt >= 0.1 in every model here, so 128 is converged to ~e-28)."""
+    monkeypatch.setattr(steady_mod, "DEFAULT_WARMUP", 128)
 
 
 def test_affine_const_states_vs_loop(rng):
@@ -32,7 +41,7 @@ def test_affine_const_states_vs_loop(rng):
                                atol=1e-12)
 
 
-def _scalar_model(N=2000, dt=0.1):
+def _scalar_model(N=700, dt=0.1):
     x = RegularSpacing(0.0, dt, N)
     fx = to_sde(GP(Matern52()))(x, 0.1)
     return build_lgssm(fx), x
@@ -93,7 +102,7 @@ def test_dtc_elbo_and_grad_vs_sequential(rng):
         grids,
     )
 
-    Ns, Nt, M = 7, 1500, 4
+    Ns, Nt, M = 7, 448, 4
     r = jnp.asarray(np.linspace(-3, 3, Ns))
     x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
     k = Separable(EQ().stretch(0.7), Matern52())
@@ -140,12 +149,12 @@ def test_posterior_marginals_diag_vs_exact(rng):
     from temporalgps_tpu.models.lgssm import LGSSM
     from temporalgps_tpu.ops import steady
 
-    model, _ = _scalar_model(N=2000)
+    model, _ = _scalar_model(N=700)
     y = jnp.asarray(rng.standard_normal(len(model)))
     post = lg.posterior(model, y, engine="sequential")
     m_ref, v_ref = lg.marginals_diag(LGSSM(post.trans, model.emis),
                                      engine="sequential")
-    m_st, v_st = steady.posterior_marginals_diag(model, y, n_warmup=256)
+    m_st, v_st = steady.posterior_marginals_diag(model, y, n_warmup=128)
     np.testing.assert_allclose(np.asarray(m_st), np.asarray(m_ref),
                                rtol=0, atol=1e-8)
     np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref),
@@ -173,7 +182,7 @@ def test_dtc_approx_posterior_marginals_steady(rng):
         approx_posterior_marginals,
     )
 
-    Ns, Nt, M = 5, 1500, 4
+    Ns, Nt, M = 5, 448, 4
     r = jnp.asarray(np.linspace(-3, 3, Ns))
     x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
     k = Separable(EQ().stretch(0.7), Matern52())
@@ -200,7 +209,7 @@ def test_f32_grad_accuracy_vs_f64_truth(rng):
     warmup's constant-element power chain loses accuracy ~linearly in the
     warmup length, 2.5e-2 rel at k=512 (fixed: _filter_pass(cov_hi=True)).
     """
-    N = 4096
+    N = 2048
     yv = rng.standard_normal(N)
 
     def mk(dtype):
