@@ -1,13 +1,16 @@
-"""TPU probe: exact spatio-temporal at the reference's own bench shape —
-N_space=247, N_time in {25, 50, 100} (reference: bench/lgssm.jl:69-160,
-D = 3*247 = 741) — plus Ns=50 x Nt=1000 (BASELINE config #4).
+"""Reference bench shape: exact spatio-temporal logpdf at N_space=247.
 
-Engines: auto (default settings — must not NaN), sequential, kron.
-Amortised honest timing.
+/root/reference/bench/lgssm.jl:69-160 benches the materialised LGSSM at
+N_space=247 (RRegression posterior shape), Nt 25-100. Our engines:
+sequential (materialised D=741 recursion), kron (factored component-major),
+block with phase2="sqrt" (QR-form elements past the f32 covariance cliff).
+VERDICT round-1 weak #3: this shape was never measured; block big-D NaNs in
+covariance form at default settings.
 """
 
 import sys
 import time
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,7 +26,10 @@ from temporalgps_tpu import RegularSpacing
 from temporalgps_tpu.gp import EQ, GP, ArrayStorage, Matern52, to_sde
 from temporalgps_tpu.gp import lti_sde as api
 from temporalgps_tpu.models import lgssm as lg
-from temporalgps_tpu.space_time import RectilinearGrid, Separable
+from temporalgps_tpu.space_time import RectilinearGrid, Separable, grids
+
+dtype = jnp.float32
+rng = np.random.default_rng(0)
 
 _FLOOR = None
 
@@ -52,52 +58,52 @@ def timed(fn, *args, iters=10):
     for _ in range(iters - 1):
         fn(*args)
     out = fn(*args)
-    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    return max((time.perf_counter() - t0 - fl) / iters, 1e-9), cs
-
-
-def run_shape(Ns, Nt, engines):
-    dtype = jnp.float32
-    rng = np.random.default_rng(0)
-    r = jnp.asarray(np.linspace(-3, 3, Ns), dtype)
-    x = RectilinearGrid(r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), Nt))
-    k = Separable(EQ().stretch(0.7), Matern52())
-    fx = to_sde(GP(k), ArrayStorage(dtype))(x, jnp.asarray(0.1, dtype))
-    model = api.build_lgssm(fx)
-    y_tf = jnp.asarray(rng.standard_normal((Nt, Ns)), dtype)
-    vals = {}
-    for engine in engines:
-        try:
-            if engine == "kron":
-                y_fl = y_tf.reshape(-1)
-                f = jax.jit(lambda y_: api.logpdf(fx, y_, engine="kron"))
-                dt, cs = timed(f, y_fl)
-                v = float(f(y_fl))
-            else:
-                f = jax.jit(lambda y_, e=engine: lg.logpdf(model, y_, engine=e))
-                dt, cs = timed(f, y_tf)
-                v = float(f(y_tf))
-            vals[engine] = v
-            finite = np.isfinite(v)
-            print(
-                f"Ns={Ns} Nt={Nt} D={model.latent_dim} [{engine or 'auto'}]: "
-                f"{dt*1e3:8.2f} ms ({Ns*Nt/dt/1e6:6.2f} Mobs/s) compile {cs:.0f}s "
-                f"val={v:.1f} finite={finite}",
-                flush=True,
-            )
-        except Exception as e:  # noqa: BLE001 — probe resilience
-            print(f"Ns={Ns} Nt={Nt} [{engine or 'auto'}] failed: {type(e).__name__}: {e}", flush=True)
-    ref = vals.get(None, vals.get("sequential"))
-    for e, v in vals.items():
-        if ref is not None and e not in (None, "sequential"):
-            print(f"  {e} rel-vs-auto: {abs(v-ref)/abs(ref):.2e}", flush=True)
+    v = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return max((time.perf_counter() - t0 - fl) / iters, 1e-9), cs, v
 
 
 def main():
     print(jax.devices(), flush=True)
-    for Nt in [25, 100]:
-        run_shape(247, Nt, [None, "kron"])  # auto (default) must not NaN
-    print("PROBE DONE", flush=True)
+    Ns = 247
+    for Nt in (25, 100):
+        r = jnp.asarray(np.linspace(-3, 3, Ns), dtype)
+        x = RectilinearGrid(
+            r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.05, dtype), Nt)
+        )
+        kern = Separable(EQ().stretch(0.7), Matern52())
+        fx = to_sde(GP(kern), ArrayStorage(dtype))(x, 0.1)
+        y = jnp.asarray(rng.standard_normal(Ns * Nt).astype(np.float32))
+        model = api.build_lgssm(fx)
+        y_tf = grids.observations_to_time_form(fx.x, y)
+        for engine, kw in (
+            ("sequential", {}),
+            ("kron", {}),
+            ("block", {}),
+            ("block", {"phase2": "sqrt"}),
+            ("steady", {}),
+        ):
+            label = engine + ("+sqrt" if kw.get("phase2") else "")
+            try:
+                if engine == "kron":
+                    f = jax.jit(lambda y_: api.logpdf(fx, y_, engine="kron"))
+                    arg = y
+                else:
+                    f = jax.jit(
+                        lambda y_, e=engine, kw=kw: lg.logpdf(
+                            model, y_, engine=e, **kw
+                        )
+                    )
+                    arg = y_tf
+                dt, cs, v = timed(f, arg)
+                print(
+                    f"Ns=247 Nt={Nt} [{label}]: {dt*1e3:.2f} ms "
+                    f"({Ns*Nt/dt/1e6:.2f} Mobs/s) compile {cs:.0f}s val={v:.1f}",
+                    flush=True,
+                )
+            except Exception:
+                print(f"Ns=247 Nt={Nt} [{label}] FAILED:", flush=True)
+                traceback.print_exc()
+    print("DONE", flush=True)
 
 
 if __name__ == "__main__":

@@ -77,8 +77,38 @@ def main():
             jax.grad(lambda p, y_, L=L: scalar_loss(p, y_, 1_000_000,
                                                     block_len=L)), p0, y1m,
         )
+    smoother_cases()
     print("DONE", flush=True)
 
 
 if __name__ == "__main__":
     main()
+
+
+def smoother_cases():
+    """C-section SIGKILL bisect: steady approx-posterior smoother fwd."""
+    from temporalgps_tpu.gp import EQ
+    from temporalgps_tpu.space_time import (
+        RectilinearGrid, Separable, approx_posterior_marginals,
+    )
+    from temporalgps_tpu.gp import to_sde as ts
+
+    for Nt in (250_000, 500_000, 1_000_000):
+        M, Ns = 5, 50
+        r = jnp.asarray(np.linspace(-3, 3, Ns), dtype)
+        z = jnp.asarray(np.linspace(-3, 3, M), dtype)
+        x = RectilinearGrid(
+            r, RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), Nt)
+        )
+        kern = Separable(EQ().stretch(0.7), Matern52())
+        fx = to_sde(GP(kern), ArrayStorage(dtype))(x, 0.1)
+        x_pr = RectilinearGrid(
+            jnp.asarray(np.linspace(-2, 2, 10), dtype),
+            RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), Nt),
+        )
+        y = jnp.asarray(rng.standard_normal(Nt * Ns).astype(np.float32))
+        compile_case(
+            f"steady smoother fwd Nt={Nt}",
+            lambda y_: approx_posterior_marginals(fx, y_, z, x_pr,
+                                                  engine="steady"), y,
+        )
