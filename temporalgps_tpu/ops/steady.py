@@ -79,15 +79,22 @@ def _mT(X):
     return jnp.swapaxes(X, -1, -2)
 
 
-def _steady_filter_cov(model, N, dtype):
-    """Exact filtering covariance at t = 2^ceil(log2 N) >= N via binary-power
-    self-composition of the constant filtering element (data-free, so the
-    b/eta components stay zero)."""
+def _steady_filter_cov(model, N, dtype, n_warmup=None):
+    """Filtering covariance at t = 2^j >= min(N, ~32 x warmup) via
+    binary-power self-composition of the constant filtering element
+    (data-free, so the b/eta components stay zero).
+
+    The squaring count is capped at log2(32 x warmup): the engine's own
+    approximation contract (rho^(2 n_warmup) decay by step n_warmup) means
+    the element is converged far below f64 round-off by t = 32 x warmup, and
+    each squaring is a full f64 element combine (~5 ms at D=30 on v5e under
+    f64 emulation) — going to 2^ceil(log2 N) buys nothing."""
     D = model.latent_dim
     hi = _hi(dtype)
     e0, _, _ = lti._const_element(model, hi)
     E = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
-    for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
+    t_cap = min(N, 32 * (n_warmup or DEFAULT_WARMUP))
+    for _ in range(max(1, math.ceil(math.log2(max(t_cap, 2))))):
         E = assoc._combine_filter(E, E)
     x0 = model.trans.x0
     prior = (
@@ -190,13 +197,13 @@ def _acs_bwd(block_len, res, mbar):
 _acs.defvjp(_acs_fwd, _acs_bwd)
 
 
-def _steady_ops(model, dtype, N):
+def _steady_ops(model, dtype, N, n_warmup=None):
     """Constant late-segment operators from the converged covariance.
 
     Everything here is O(1)-sized (D- and Dout-dim), computed in `_hi`
     precision, and cast to the working dtype on the way out — see `_hi`."""
     hi = _hi(dtype)
-    P_ss = _steady_filter_cov(model, N, dtype)  # already hi
+    P_ss = _steady_filter_cov(model, N, dtype, n_warmup)  # already hi
     A0 = model.trans.As.value.astype(hi)
     a0 = model.trans.offs.value.astype(hi)
     Q0 = model.trans.Qs.value.astype(hi)
@@ -280,7 +287,7 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
                          cov_hi=hi_mode)
     m_start = q["means"][-1]
 
-    ops = _steady_ops(model, dtype, len(model))
+    ops = _steady_ops(model, dtype, len(model), n_warmup=k)
     y_late = y[k:]
     A0, a0 = ops["A0"], ops["a0"]
     if ops["scalar"]:
