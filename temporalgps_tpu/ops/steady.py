@@ -84,16 +84,17 @@ def _steady_filter_cov(model, N, dtype, n_warmup=None):
     binary-power self-composition of the constant filtering element
     (data-free, so the b/eta components stay zero).
 
-    The squaring count is capped at log2(32 x warmup): the engine's own
-    approximation contract (rho^(2 n_warmup) decay by step n_warmup) means
-    the element is converged far below f64 round-off by t = 32 x warmup, and
-    each squaring is a full f64 element combine (~5 ms at D=30 on v5e under
-    f64 emulation) — going to 2^ceil(log2 N) buys nothing."""
+    The squaring count is capped at log2(8 x warmup): the engine's own
+    approximation contract (rho^(2 n_warmup) decay by step n_warmup, with
+    n_warmup >= 5/(lambda dt)) puts convergence at t = 8 x warmup below
+    e^-80 — far under f64 round-off — and each squaring is a full f64
+    element combine (~5 ms at D=30 on v5e under f64 emulation), so going
+    to 2^ceil(log2 N) buys nothing."""
     D = model.latent_dim
     hi = _hi(dtype)
     e0, _, _ = lti._const_element(model, hi)
     E = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
-    t_cap = min(N, 32 * (n_warmup or DEFAULT_WARMUP))
+    t_cap = min(N, 8 * (n_warmup or DEFAULT_WARMUP))
     for _ in range(max(1, math.ceil(math.log2(max(t_cap, 2))))):
         E = assoc._combine_filter(E, E)
     x0 = model.trans.x0
