@@ -8,9 +8,9 @@ to its fixed point (rate = closed-loop spectral radius squared,
 
   1. runs the EXACT blocked covariance/mean/lml pipeline (ops/lti.py) on the
      first `n_warmup` steps only;
-  2. computes the exact filtering covariance at t = N by binary-power
-     composition of the constant filtering element (~log2 N unbatched
-     combines) and uses it as the converged covariance for every later step;
+  2. computes the converged filtering covariance by binary-power
+     composition of the constant filtering element (~log2(8 x warmup)
+     unbatched combines, in f64 — see _hi) and uses it for every later step;
   3. solves the remaining mean recursion m_t = G m_{t-1} + w_t with a
      CONSTANT matrix G via `affine_const_states` — a within-block
      convolution expressed as one dense (B, L*D) x (L*D, L*D) matmul plus a
