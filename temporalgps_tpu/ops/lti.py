@@ -190,6 +190,8 @@ def _cov_pass(model, N, B, dtype, hi_mode=None):
     C = B
     while C > 1 and C * elem_bytes > (1 << 29):  # ~512MB of temporaries
         C //= 2
+    while B % C:  # the lax.map reshape needs C | B (B=25 halves to 12)
+        C -= 1
 
     def chunk_cov(st_chunk):
         st_e = jax.tree.map(lambda x: x[:, None], st_chunk)  # (C, 1, ...)
