@@ -149,12 +149,14 @@ def _with_precision(model_arg=0):
 
 @_with_precision()
 def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None,
-           phase2=None):
+           phase2=None, n_warmup=None):
     """Log marginal likelihood via the Kalman filter
     (reference: src/models/lgssm.jl:147-165). `pallas=False` forces the
     pure-XLA block schedule (required under forward-mode jvp, which cannot
     cross the Pallas custom_vjp). `phase2="sqrt"` runs the block engine's
-    cross-block combine in square-root form (ops/sqrt.py)."""
+    cross-block combine in square-root form (ops/sqrt.py). `n_warmup`
+    overrides the steady engine's exact-filter warmup length (see
+    ops/steady.suggest_warmup for choosing it at small lambda*dt)."""
     engine = _resolve_engine(engine, model)
     if engine == "lti":
         from ..ops import lti
@@ -168,7 +170,7 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None,
     if engine == "steady":
         from ..ops import steady
 
-        return steady.logpdf(model, y, n_blocks=n_blocks)
+        return steady.logpdf(model, y, n_blocks=n_blocks, n_warmup=n_warmup)
     if engine == "parallel":
         from ..ops import assoc
 

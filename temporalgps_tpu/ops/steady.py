@@ -68,6 +68,27 @@ def supported(model) -> bool:
     return lti.supported(model) and not model.trans.det_blocks
 
 
+def suggest_warmup(model, *, tol=1e-10) -> int:
+    """Host-side warmup recommendation for this model.
+
+    The steady approximation error decays like rho^(2k) with rho the
+    spectral radius of the constant transition (open-loop bound; the
+    closed-loop filter converges at least as fast). Returns the smallest k
+    with rho^(2k) <= tol, in [64, len(model)]. Call OUTSIDE jit with
+    concrete hyperparameters (eigvals are host-side); pass the result as
+    `n_warmup=`. The default warmup (512) covers lambda*dt >= ~0.01."""
+    import numpy as np
+
+    A0 = np.asarray(model.trans.As.value, np.float64)
+    rho = float(np.max(np.abs(np.linalg.eigvals(A0))))
+    if rho >= 1.0:
+        raise ValueError(
+            f"transition spectral radius {rho} >= 1: not a stable LTI model"
+        )
+    k = int(np.ceil(np.log(tol) / (2.0 * np.log(rho))))
+    return max(64, min(k, len(model)))
+
+
 def _trim(model, k):
     """The same Fill model over its first k steps."""
     return jax.tree_util.tree_map(

@@ -198,7 +198,7 @@ def dtc(fx, y, z_r, *, engine=None):
     return api_logpdf(dtcify(z_r, fx), y, engine=engine)
 
 
-def elbo(fx, y, z_r, *, engine=None):
+def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
     """Titsias-style ELBO in state-space form
     (reference: pseudo_point.jl:62-82)."""
     from ..gp.lti_sde import _storage_dtype, build_lgssm
@@ -235,7 +235,8 @@ def elbo(fx, y, z_r, *, engine=None):
                 "NaNs); use engine='block'/'sequential' for missing "
                 "observations"
             )
-        lp = lgssm_mod.logpdf(model, y_tf, engine=engine)
+        lp = lgssm_mod.logpdf(model, y_tf, engine=engine,
+                              n_warmup=n_warmup)
     else:
         lp = missings_mod.logpdf_with_missings(model, y_tf, engine=engine)
     return lp - 0.5 * jnp.sum(tmp)
@@ -322,7 +323,8 @@ def approx_posterior_marginals_at(fx, y, z_r, x_r, t: int, *, engine=None):
     return m[start : start + n], v[start : start + n]
 
 
-def approx_posterior_marginals(fx, y, z_r, x_r, *, engine=None):
+def approx_posterior_marginals(fx, y, z_r, x_r, *, engine=None,
+                               n_warmup=None):
     """DTC posterior marginals at new spatial locations x_r, all times
     (reference: pseudo_point.jl:222-241). Returns flat (means, vars)."""
     from ..gp.lti_sde import _storage_dtype, build_lgssm
@@ -353,7 +355,8 @@ def approx_posterior_marginals(fx, y, z_r, x_r, *, engine=None):
                 "approx_posterior_marginals(engine='steady') requires "
                 "fully-observed data (no NaNs)"
             )
-        m, v = steady.posterior_marginals_diag(model, y_tf, emis=new_emis)
+        m, v = steady.posterior_marginals_diag(model, y_tf, emis=new_emis,
+                                               n_warmup=n_warmup)
         return grids.destructure(x_pr, m), grids.destructure(x_pr, v)
 
     post = missings_mod.posterior_with_missings(model, y_tf, engine=engine)

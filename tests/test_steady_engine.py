@@ -232,3 +232,46 @@ def test_f32_grad_accuracy_vs_f64_truth(rng):
                      np.float64)
     rel = np.abs(g32 - g64) / (np.abs(g64) + 1e-6)
     assert rel.max() < 2e-3, (g32, g64, rel)
+
+
+def test_n_warmup_threads_through_drivers(rng):
+    """n_warmup reaches the steady engine from the public drivers, and
+    suggest_warmup returns a sane host-side recommendation."""
+    from temporalgps_tpu.ops import steady
+    from temporalgps_tpu.space_time import (
+        RectilinearGrid,
+        Separable,
+        approx_posterior_marginals,
+        elbo,
+    )
+
+    model, x = _scalar_model(N=700)
+    y = rng.standard_normal(700)
+    lp_small = float(lg.logpdf(model, y, engine="steady", n_warmup=96))
+    lp_default = float(lg.logpdf(model, y, engine="steady"))
+    np.testing.assert_allclose(lp_small, lp_default, rtol=1e-10)
+
+    k = steady.suggest_warmup(model)
+    assert 64 <= k <= 700
+    # lambda*dt ~ 0.22 here -> converged well under the 512 default
+    assert k < 512
+
+    Ns, Nt, M = 5, 448, 4
+    r = jnp.asarray(np.linspace(-3, 3, Ns))
+    xg = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
+    k_sep = Separable(EQ().stretch(0.7), Matern52())
+    fx = to_sde(GP(k_sep))(xg, 0.1)
+    yg = jnp.asarray(rng.standard_normal(Ns * Nt))
+    z = jnp.asarray(np.linspace(-3, 3, M))
+    e1 = float(elbo(fx, yg, z, engine="steady", n_warmup=160))
+    e2 = float(elbo(fx, yg, z, engine="steady"))
+    np.testing.assert_allclose(e1, e2, rtol=1e-10)
+    x_pr = RectilinearGrid(jnp.asarray(np.linspace(-2, 2, 3)),
+                           RegularSpacing(0.0, 0.05, Nt))
+    m1, v1 = approx_posterior_marginals(fx, yg, z, x_pr, engine="steady",
+                                        n_warmup=160)
+    m2, v2 = approx_posterior_marginals(fx, yg, z, x_pr, engine="steady")
+    # different warmup splits reorder the f64 arithmetic; agreement is up
+    # to the approximation contract, not bitwise
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
