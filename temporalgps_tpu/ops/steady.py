@@ -333,7 +333,8 @@ def logpdf(model, y, *, n_warmup=None, n_blocks=None, block_len=16):
     k = min(n_warmup or DEFAULT_WARMUP, N)
     if k >= N:
         return lti.logpdf(model, y, n_blocks=n_blocks)
-    f = _filter_steady(model, y, k, block_len=block_len)
+    f = _filter_steady(model, y, k, n_blocks=n_blocks,
+                       block_len=block_len)
     lp_early = lti._lml_from_filter(f["q"])
 
     ops, y_late, m_pred = f["ops"], f["y_late"], f["m_pred_late"]
@@ -510,7 +511,8 @@ def posterior_marginals_diag(model, y, *, emis=None, n_warmup=None,
         post = lti.posterior(model, y, n_blocks=n_blocks)
         return lg.marginals_diag(LGSSM(post.trans, emis_use))
 
-    f = _filter_steady(model, y, k, block_len=block_len)
+    f = _filter_steady(model, y, k, n_blocks=n_blocks,
+                       block_len=block_len)
     q, ops = f["q"], f["ops"]
     dtype = f["dtype"]
     A0 = ops["A0"]
