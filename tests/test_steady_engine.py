@@ -116,17 +116,16 @@ def test_dtc_elbo_and_grad_vs_sequential(rng):
     lp_st = float(lg.logpdf(model, y_tf, engine="steady"))
     np.testing.assert_allclose(lp_st, lp_seq, rtol=1e-9)
 
-    e_seq = float(elbo(fx, jnp.asarray(y), z, engine="sequential"))
-    e_st = float(elbo(fx, jnp.asarray(y), z, engine="steady"))
-    np.testing.assert_allclose(e_st, e_seq, rtol=1e-9)
-
     def loss(p, engine):
         s2, sc, noise = jnp.exp(p)
         kern = s2 * Separable(EQ().stretch(sc), Matern52())
         return elbo(to_sde(GP(kern))(x, noise), jnp.asarray(y), z, engine=engine)
 
-    g_seq = jax.grad(lambda p: loss(p, "sequential"))(jnp.zeros(3))
-    g_st = jax.grad(lambda p: loss(p, "steady"))(jnp.zeros(3))
+    # one value_and_grad trace per engine covers both the elbo value and
+    # the hyperparameter-gradient oracles (compile time dominates here)
+    e_seq, g_seq = jax.value_and_grad(lambda p: loss(p, "sequential"))(jnp.zeros(3))
+    e_st, g_st = jax.value_and_grad(lambda p: loss(p, "steady"))(jnp.zeros(3))
+    np.testing.assert_allclose(float(e_st), float(e_seq), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_seq), rtol=1e-6)
 
 
