@@ -40,6 +40,9 @@ from ..utils.fill import Fill, is_fill
 from ..utils.gaussian import Gaussian
 from . import assoc
 
+# peak bytes of outer-combine temporaries before the B axis is chunked
+_COV_CHUNK_BYTES = 1 << 29  # ~512MB
+
 
 def _mT(X):
     return jnp.swapaxes(X, -1, -2)
@@ -188,7 +191,7 @@ def _cov_pass(model, N, B, dtype, hi_mode=None):
     # needs ~18GB of HBM). Only the C-component is kept.
     elem_bytes = 10 * L * D * D * 4
     C = B
-    while C > 1 and C * elem_bytes > (1 << 29):  # ~512MB of temporaries
+    while C > 1 and C * elem_bytes > _COV_CHUNK_BYTES:
         C //= 2
     while B % C:  # the lax.map reshape needs C | B (B=25 halves to 12)
         C -= 1

@@ -147,3 +147,22 @@ def test_lti_posterior_matches_sequential(rng):
         m, v = marginals_diag(post, engine="sequential")
         np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-7, atol=1e-9)
         np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-7, atol=1e-9)
+
+
+def test_cov_pass_chunk_width_divides_blocks(rng, monkeypatch):
+    """Regression: B=25 with a small chunk cap halved C to 12 and the
+    lax.map reshape of the block axis failed (hit at the reference bench
+    shape Ns=247, Nt=25 via the steady->lti delegation)."""
+    from temporalgps_tpu import RegularSpacing
+    from temporalgps_tpu.gp import GP, Matern52, to_sde
+    from temporalgps_tpu.gp.lti_sde import build_lgssm
+    from temporalgps_tpu.models import logpdf
+    from temporalgps_tpu.ops import lti
+
+    monkeypatch.setattr(lti, "_COV_CHUNK_BYTES", 1024)  # force chunking
+    x = RegularSpacing(0.0, 0.1, 25)
+    model = build_lgssm(to_sde(GP(Matern52()))(x, 0.1))
+    y = rng.standard_normal(25)
+    v = float(lti.logpdf(model, y, n_blocks=25))
+    v_ref = float(logpdf(model, y, engine="sequential"))
+    np.testing.assert_allclose(v, v_ref, rtol=1e-9)
