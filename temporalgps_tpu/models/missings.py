@@ -72,6 +72,21 @@ def transform_model_and_obs(model: LGSSM, y):
 def logpdf_with_missings(model: LGSSM, y, *, engine=None, **engine_kwargs):
     from .lgssm import logpdf
 
+    if engine in ("lti", "steady"):
+        # These engines require fully-observed data AND Fill (time-
+        # invariant) noise; the missing-data transform materialises the
+        # noise leaf, which would break their premise even for NaN-free
+        # data. Bypass it: NaNs (if any) propagate loudly to the lml,
+        # matching elbo's documented contract for these engines.
+        import jax
+
+        y = jnp.asarray(y)
+        if not isinstance(y, jax.core.Tracer) and bool(jnp.isnan(y).any()):
+            raise ValueError(
+                f"engine={engine!r} requires fully-observed data (no "
+                "NaNs); use engine='block'/'sequential' for missing data"
+            )
+        return logpdf(model, y, engine=engine, **engine_kwargs)
     model_f, y_f, comp = transform_model_and_obs(model, y)
     return logpdf(model_f, y_f, engine=engine, **engine_kwargs) + comp
 

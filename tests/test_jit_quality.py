@@ -23,15 +23,18 @@ def _fx(noise=0.1):
     return to_sde(GP(Matern52()))(RegularSpacing(0.0, 0.1, N), noise)
 
 
-@pytest.mark.parametrize("engine", ["sequential", "parallel", "block"])
+@pytest.mark.parametrize("engine", ["sequential", "parallel", "block",
+                                    "lti", "steady"])
 def test_logpdf_jits_and_no_retrace(rng, engine):
     fx = _fx()
     traces = []
+    # n_warmup=16 < N so the steady branch (not the lti delegation) traces
+    kw = {"n_warmup": 16} if engine == "steady" else {}
 
     @jax.jit
     def lp(y):
         traces.append(1)
-        return api.logpdf(fx, y, engine=engine)
+        return api.logpdf(fx, y, engine=engine, **kw)
 
     y1 = jnp.asarray(rng.standard_normal(N))
     y2 = jnp.asarray(rng.standard_normal(N))

@@ -274,3 +274,23 @@ def test_n_warmup_threads_through_drivers(rng):
     # to the approximation contract, not bitwise
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-7)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_public_api_logpdf_steady(rng):
+    """gp-level logpdf routes steady/lti without the missing-data noise
+    materialisation (which would break Fill-ness), and rejects NaNs."""
+    from temporalgps_tpu.gp import lti_sde as api
+
+    x = RegularSpacing(0.0, 0.1, 600)
+    fx = to_sde(GP(Matern52()))(x, 0.1)
+    y = rng.standard_normal(600)
+    lp_seq = float(api.logpdf(fx, y, engine="sequential"))
+    lp_st = float(api.logpdf(fx, y, engine="steady", n_warmup=128))
+    lp_lti = float(api.logpdf(fx, y, engine="lti"))
+    np.testing.assert_allclose(lp_st, lp_seq, rtol=1e-10)
+    np.testing.assert_allclose(lp_lti, lp_seq, rtol=1e-10)
+
+    y_nan = y.copy()
+    y_nan[7] = np.nan
+    with pytest.raises(ValueError, match="fully-observed"):
+        api.logpdf(fx, y_nan, engine="steady")
