@@ -51,6 +51,14 @@ from . import assoc, lti
 
 DEFAULT_WARMUP = 512
 
+# Override for the warmup covariance-pass precision mode: None picks by
+# state dim ("full" f64 for D <= 8, "chain" above — see _filter_steady);
+# set to "full" / "chain" / False to force. "full" buys ~4e-5-rel f32
+# hyperparameter grads at an N-independent f64 cost that grows with D
+# (~385 ms at D=30 on v5e); "chain" is the bounded-cost default at
+# moderate D (~3e-3-rel grads).
+COV_HI_MODE = None
+
 
 def _hi(dtype):
     """Precision for the O(1)-sized constant steady-state operators.
@@ -304,7 +312,11 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
     # hyperparameter grads but pays f64 for the O(k) outer combine —
     # cheap at small D, ~100s of ms at D~30 on TPU; "chain" bounds the f64
     # work to the log-depth power chain (flat ~3e-3 rel grads).
-    hi_mode = "full" if model.latent_dim <= 8 else "chain"
+    # COV_HI_MODE overrides the by-dim default.
+    if COV_HI_MODE is not None:
+        hi_mode = COV_HI_MODE
+    else:
+        hi_mode = "full" if model.latent_dim <= 8 else "chain"
     q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=n_blocks or B_w,
                          cov_hi=hi_mode)
     m_start = q["means"][-1]
