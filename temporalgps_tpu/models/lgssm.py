@@ -409,6 +409,15 @@ def rand(key, model: LGSSM, *, engine=None):
         from ..ops import assoc
 
         return assoc.rand_with_eps(model, eps_t, eps_e, x_init)
+    if engine in ("lti", "steady"):
+        from ..ops import lti, steady
+
+        if not lti.supported(model):
+            raise ValueError(
+                f"engine={engine!r} rand requires a forward model with "
+                "all-Fill (time-invariant) parameters"
+            )
+        return steady.rand_with_eps(model, eps_t, eps_e, x_init)
 
     def step(x, params):
         ((A, a, Q), e), (et, ee) = params

@@ -482,6 +482,29 @@ def marginals_diag(model, *, n_warmup=None):
     return mu, var
 
 
+def rand_with_eps(model, eps_t, eps_e, x_init, *, block_len=16):
+    """EXACT joint observation sample of a Fill model from pre-drawn noise
+    (same contract as block/assoc rand_with_eps; reference semantics:
+    src/models/lgssm.jl:65-91).
+
+    Not an approximation: with noise pre-drawn, the latent chain
+    x_t = A x_{t-1} + a + chol(Q) eps_t is a constant-matrix affine
+    recursion, solved by `affine_const_states` as dense MXU matmuls; the
+    emission map is one batched call. Identical draws to the sequential
+    engine for the same key (same chol + jitter conventions)."""
+    from ..config import RAND_JITTER
+
+    dtype = x_init.dtype
+    A0 = model.trans.As.value.astype(dtype)
+    a0 = model.trans.offs.value.astype(dtype)
+    Q0 = model.trans.Qs.value.astype(dtype)
+    L = psd.cholesky(psd.add_jitter(psd.symmetrize(Q0), RAND_JITTER))
+    w = a0 + eps_t @ L.T
+    xs = affine_const_states(A0, w, x_init, block_len=block_len)
+    e_single = lti._single(model.emis)
+    return em.step_conditional_rand(eps_e, xs, e_single)
+
+
 # ---------------------------------------------------------------------------
 # Steady-state RTS smoother (posterior marginals)
 # ---------------------------------------------------------------------------

@@ -294,3 +294,27 @@ def test_public_api_logpdf_steady(rng):
     y_nan[7] = np.nan
     with pytest.raises(ValueError, match="fully-observed"):
         api.logpdf(fx, y_nan, engine="steady")
+
+
+def test_rand_exact_vs_sequential(rng):
+    """rand_with_eps via the constant-matrix affine solve draws IDENTICAL
+    samples to the sequential engine for the same key (exact, not a steady
+    approximation)."""
+    model, _ = _scalar_model(N=500)
+    key = jax.random.PRNGKey(7)
+    y_seq = lg.rand(key, model, engine="sequential")
+    y_st = lg.rand(key, model, engine="steady")
+    np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_seq),
+                               atol=1e-10)
+
+    # vector-emission (spatio-temporal grid) path
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+    Ns, Nt = 6, 300
+    xg = RectilinearGrid(jnp.asarray(np.linspace(-2, 2, Ns)),
+                         RegularSpacing(0.0, 0.05, Nt))
+    fx = to_sde(GP(Separable(EQ(), Matern52())))(xg, 0.25)
+    m2 = build_lgssm(fx)
+    y1 = lg.rand(key, m2, engine="sequential")
+    y2 = lg.rand(key, m2, engine="steady")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-10)
