@@ -432,7 +432,24 @@ def config5():
 
 
 def main():
-    log("devices:", jax.devices())
+    # Fail fast (with a parseable JSON line) if the TPU backend is
+    # unreachable — jax.devices() otherwise blocks forever when the
+    # port-relay process has died (seen after a TPU worker crash).
+    import threading
+
+    devs = []
+    t = threading.Thread(target=lambda: devs.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(600)
+    if not devs:
+        print(json.dumps({
+            "metric": "matern52_logpdf_grad_timesteps_per_sec_N1e6_f32",
+            "value": None, "unit": "timesteps/s", "vs_baseline": None,
+            "error": "TPU backend unreachable (jax.devices() timed out; "
+                     "port-relay down?)",
+        }))
+        sys.exit(1)
+    log("devices:", devs[0])
     configs = {}
     for name, fn in [
         ("c1_matern32_n10k_static", config1),
