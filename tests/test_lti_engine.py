@@ -166,3 +166,31 @@ def test_cov_pass_chunk_width_divides_blocks(rng, monkeypatch):
     v = float(lti.logpdf(model, y, n_blocks=25))
     v_ref = float(logpdf(model, y, engine="sequential"))
     np.testing.assert_allclose(v, v_ref, rtol=1e-9)
+
+
+def test_all_powers_matches_sequential_composition(rng):
+    """Binary-doubling power table == naive sequential composition, for both
+    the filter (5-tuple) and affine (3-tuple) combines, pow2 and ragged L."""
+    from temporalgps_tpu.ops import assoc, lti
+
+    D = 3
+    A = jnp.asarray(rng.standard_normal((D, D)) * 0.4)
+    C = jnp.eye(D) + 0.1 * jnp.asarray(rng.standard_normal((D, D)))
+    C = 0.5 * (C + C.T) + D * jnp.eye(D)
+    J = 0.05 * jnp.eye(D)
+    E1f = (A, jnp.zeros(D), C, jnp.zeros(D), J)
+    E1a = (A, jnp.asarray(rng.standard_normal(D)), C)
+    for L in (1, 2, 7, 16, 13):
+        for E1, combine in ((E1f, assoc._combine_filter),
+                            (E1a, assoc._combine_affine)):
+            got = lti._all_powers(E1, L, combine)
+            want, acc = [E1], E1
+            for _ in range(L - 1):
+                acc = combine(acc, E1)
+                want.append(acc)
+            for i in range(L):
+                for g, w in zip(jax.tree.leaves(
+                        jax.tree.map(lambda x: x[i], got)),
+                        jax.tree.leaves(want[i])):
+                    np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                               rtol=1e-9, atol=1e-11)
