@@ -354,17 +354,19 @@ def _lml_from_filter(q):
     )
 
 
-def posterior(model, y, *, n_blocks=None):
+def posterior(model, y, *, n_blocks=None, cov_hi=False):
     """Smoother-as-Reverse-LGSSM for Fill models (reference semantics:
     src/models/lgssm.jl:193-240): lti filter quantities + batched dynamics
     inversion. The returned model's per-step transitions are arrays (the
     reversed dynamics are position-dependent), so downstream drivers use
-    the generic engines on it."""
+    the generic engines on it. `cov_hi` as in `_filter_pass` (the steady
+    engine's small-N delegation passes it so f32 gradients through the
+    delegated posterior keep the hi-precision chain)."""
     from ..config import POSTERIOR_JITTER
     from ..models.gauss_markov import GaussMarkov
     from ..models.lgssm import LGSSM
 
-    q = _filter_pass(model, y, n_blocks)
+    q = _filter_pass(model, y, n_blocks, cov_hi=cov_hi)
     A0, _, _ = q["trans0"]
     m_prev, P_prev = q["m_prev"], q["P_prev"]
     m_pred, P_pred = q["m_pred"], q["P_pred"]

@@ -543,7 +543,10 @@ def posterior_marginals_diag(model, y, *, emis=None, n_warmup=None,
         from ..models import lgssm as lg
         from ..models.lgssm import LGSSM
 
-        post = lti.posterior(model, y, n_blocks=n_blocks)
+        hi_mode = COV_HI_MODE or ("full" if model.latent_dim <= 8
+                                  else "chain")
+        post = lti.posterior(model, y, n_blocks=n_blocks,
+                             cov_hi=hi_mode)
         return lg.marginals_diag(LGSSM(post.trans, emis_use))
 
     f = _filter_steady(model, y, k, n_blocks=n_blocks,
