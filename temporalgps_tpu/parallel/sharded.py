@@ -494,3 +494,217 @@ def _emission_mean(e, xs):
         inner = jnp.einsum("nij,nj->ni", e.H, xs) + e.h
         return jnp.einsum("nij,nj->ni", e.C, inner) + e.c
     raise TypeError(type(e))
+
+
+# ---------------------------------------------------------------------------
+# Distributed steady-state logpdf
+# ---------------------------------------------------------------------------
+
+
+def _lyap_partial_sum(G, C, n):
+    """Sum_{t=0}^{n-1} G'^t C G^t by doubling: (P, S) -> (P^2, S + P'SP),
+    log2(n) (D, D) matmuls. n must be a power of two times the base case
+    handled by splitting on the binary digits of n."""
+    # general n: binary decomposition. S_a+b = S_a + P_a' S_b P_a.
+    P_cur, S_cur = G, C  # covers n = 1 ... as (G^1, sum over t<1)
+    S_tot = None
+    P_tot = None
+    m = n
+    while m:
+        if m & 1:
+            if S_tot is None:
+                S_tot, P_tot = S_cur, P_cur
+            else:
+                S_tot = S_cur + P_cur.T @ S_tot @ P_cur
+                P_tot = P_tot @ P_cur
+        S_cur = S_cur + P_cur.T @ S_cur @ P_cur
+        P_cur = P_cur @ P_cur
+        m >>= 1
+    return S_tot
+
+
+def _mat_pow(G, n):
+    """G^n by binary powering."""
+    out = jnp.eye(G.shape[0], dtype=G.dtype)
+    P_cur = G
+    m = n
+    while m:
+        if m & 1:
+            out = P_cur @ out
+        P_cur = P_cur @ P_cur
+        m >>= 1
+    return out
+
+
+def sharded_steady_logpdf(
+    model,
+    y,
+    mesh: Mesh,
+    *,
+    time_axis: str = "t",
+    n_warmup: Optional[int] = None,
+    n_blocks: Optional[int] = None,
+    block_len: int = 16,
+):
+    """Distributed steady-state logpdf of a Fill forward model.
+
+    The sharded analogue of ops/steady.logpdf (docs/ROADMAP.md item 6):
+    the warmup prefix y[:k] is REPLICATED and exactly filtered on every
+    chip (O(k) constant work); each chip then reduces its late chunk to an
+    affine aggregate plus a QUADRATIC lml form in its unknown chunk-start
+    filtering mean — alpha (data sum), beta (one reverse constant-matrix
+    recursion), Gamma (partial Lyapunov sum, data-free and replicated).
+    One all_gather of O(n_dev * D^2), an exclusive affine prefix, and the
+    total lml assembles in closed form. Chip 0's aggregate matrix is ZERO
+    (its start state is injected from the warmup via input masking), which
+    makes the whole program SPMD-uniform — no per-chip branches.
+
+    Same contract as ops/steady: no missing data, Fill params, forward
+    ordering; approximation error rho^(2 n_warmup)."""
+    from ..ops import lti, steady
+
+    if not model.trans.forward:
+        raise NotImplementedError("sharded_steady_logpdf: forward models only")
+    if not steady.supported(model):
+        raise ValueError(
+            "sharded_steady_logpdf requires an all-Fill model without "
+            "deterministic diffusion blocks"
+        )
+    scalar = isinstance(model.emis, em.ScalarEmissions)
+    y = jnp.asarray(y)
+    time_dim = -1 if scalar else -2
+    N = y.shape[time_dim]
+    _check_divisible(N, mesh, time_axis)
+    n_dev = mesh.shape[time_axis]
+    n_loc = N // n_dev
+    k = min(n_warmup or steady.DEFAULT_WARMUP, N)
+    if k >= n_loc:
+        raise ValueError(
+            f"per-chip chunk length {n_loc} must exceed the warmup {k}; "
+            "use fewer chips, a shorter warmup, or the generic "
+            "sharded_logpdf"
+        )
+    D = model.latent_dim
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    treedef, fill_mask, arrs, fills = _flatten_params(model)
+    assert not arrs, "all-Fill checked above"
+    y_warm = jax.lax.slice_in_dim(y, 0, k, axis=time_dim)
+
+    y_spec = P(time_axis) if scalar else P(time_axis, None)
+    warm_spec = P() if scalar else P(None, None)
+    fill_specs = tuple(P() for _ in fills)
+
+    def local_fn(y_loc, y_warm_loc, fills_loc, x0_loc):
+        model_loc = _rebuild(treedef, fill_mask, [], list(fills_loc), n_loc)
+        from ..models.lgssm import LGSSM
+        from ..models.gauss_markov import GaussMarkov
+
+        (As_l, offs_l, Qs_l), emis_l = model_loc
+        trans_l = GaussMarkov(
+            As=As_l, offs=offs_l, Qs=Qs_l,
+            x0=Gaussian(*x0_loc), forward=True,
+            det_blocks=model.trans.det_blocks,
+        )
+        m_loc = LGSSM(trans_l, emis_l)
+
+        # replicated: exact warmup on y[:k] + constant steady operators
+        B_w = 16
+        while k % B_w:
+            B_w //= 2
+        q = lti._filter_pass(
+            steady._trim(m_loc, k), y_warm_loc, n_blocks=B_w,
+            cov_hi="full" if D <= 8 else "chain",
+        )
+        lp_warm = lti._lml_from_filter(q)
+        m_start_warm = q["means"][-1]
+        ops = steady._steady_ops(m_loc, dtype, N, n_warmup=k)
+        G, c_w, A0, a0 = ops["G"], ops["c_w"], ops["A0"], ops["a0"]
+
+        idx = jax.lax.axis_index(time_axis)
+        t_loc = jnp.arange(n_loc)
+        if scalar:
+            H, h, S = ops["H"], ops["h"], ops["S"]
+            w = c_w[None, :] + (y_loc - h)[:, None] * ops["K"][None, :]
+        else:
+            H_eff, h_eff, S_inv = ops["H_eff"], ops["h_eff"], ops["S_inv"]
+            w = c_w[None, :] + y_loc @ ops["K"].T
+        # chip-0 masking: zero w before the warmup boundary, inject the
+        # warmup's final filtering mean at local index k-1
+        on0 = (idx == 0)
+        premask = on0 & (t_loc < k)
+        w = jnp.where(premask[:, None], 0.0, w)
+        w = jnp.where(
+            (on0 & (t_loc == k - 1))[:, None], m_start_warm[None, :], w
+        )
+
+        # zero-init local filtered chain + affine aggregate
+        z = steady.affine_const_states(
+            G, w, jnp.zeros((D,), dtype), block_len=block_len
+        )
+        v_c = z[-1]
+        M_c = jnp.where(on0, 0.0, 1.0) * _mat_pow(G, n_loc)
+
+        # residuals of the zero-init chain: r0_t = y_t - (H(A z_{t-1}+a)+h)
+        z_prev = jnp.concatenate([jnp.zeros((1, D), dtype), z[:-1]], axis=0)
+        m_pred0 = z_prev @ A0.T + a0
+        if scalar:
+            r0 = y_loc - (m_pred0 @ H + h)
+        else:
+            r0 = y_loc - (m_pred0 @ H_eff.T + h_eff)
+        # mask out warmup-covered steps on chip 0 (their lml is lp_warm)
+        lml_mask = jnp.where(on0 & (t_loc < k), 0.0, 1.0)
+
+        # quadratic lml pieces
+        if scalar:
+            alpha = jnp.sum(lml_mask * r0 * r0) / S
+            u = (lml_mask * r0)[:, None] * (A0.T @ H / S)[None, :]
+        else:
+            rw = r0 @ S_inv.T
+            alpha = jnp.sum(lml_mask[:, None] * r0 * rw)
+            u = (lml_mask[:, None] * rw) @ (ops["H_eff"] @ A0)
+        # beta = sum_t G'^t u_t: backward recursion s_j = u_j + G' s_{j+1}
+        s_rev = steady.affine_const_states(
+            G.T, jnp.flip(u, 0), jnp.zeros((D,), dtype), block_len=block_len
+        )
+        beta = s_rev[-1]
+        if scalar:
+            C_mat = jnp.outer(A0.T @ H, A0.T @ H) / S
+        else:
+            HA = ops["H_eff"] @ A0
+            C_mat = HA.T @ S_inv @ HA
+        Gamma = _lyap_partial_sum(G, C_mat, n_loc)
+
+        # exchange aggregates; exclusive affine prefix gives chunk starts
+        all_M = jax.lax.all_gather(M_c, time_axis)       # (n_dev, D, D)
+        all_v = jax.lax.all_gather(v_c, time_axis)       # (n_dev, D)
+
+        def fold(x, Mv):
+            M, v = Mv
+            return M @ x + v, x
+
+        _, excl = jax.lax.scan(fold, jnp.zeros((D,), dtype), (all_M, all_v))
+        x_c = excl[idx]
+        x_c = jnp.where(on0, 0.0, x_c)
+
+        quad = alpha - 2.0 * beta @ x_c + x_c @ (Gamma @ x_c)
+        cnt = jnp.sum(lml_mask)
+        import math as _math
+
+        if scalar:
+            per = ops["logdetS"] + _math.log(2.0 * _math.pi)
+        else:
+            per = ops["logdetS"] + ops["Dout"] * _math.log(2.0 * _math.pi)
+        lml_loc = -0.5 * (cnt * per + quad)
+        lml_loc = lml_loc + jnp.where(on0, lp_warm, 0.0)
+        return jax.lax.psum(lml_loc, time_axis)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(y_spec, warm_spec, fill_specs, (P(), P())),
+        out_specs=P(),
+        check_rep=False,
+    )
+    with precision_ctx(D):
+        return fn(y, y_warm, tuple(fills), (x0.mean, x0.cov))
