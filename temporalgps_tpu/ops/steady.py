@@ -325,7 +325,9 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
     y_late = y[k:]
     A0, a0 = ops["A0"], ops["a0"]
     if ops["scalar"]:
-        w = ops["c_w"][None, :] + (y_late - ops["h"])[:, None] * ops["K"][None, :]
+        # m_filt = G m_prev + (a0 - K(H a0 + h)) + K y : c_w already carries
+        # the -K h term, so w adds K*y with NO second h subtraction.
+        w = ops["c_w"][None, :] + y_late[:, None] * ops["K"][None, :]
     else:
         w = ops["c_w"][None, :] + y_late @ ops["K"].T
     means_late = affine_const_states(ops["G"], w, m_start, block_len=block_len)

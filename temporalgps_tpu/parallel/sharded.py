@@ -625,7 +625,9 @@ def sharded_steady_logpdf(
         t_loc = jnp.arange(n_loc)
         if scalar:
             H, h, S = ops["H"], ops["h"], ops["S"]
-            w = c_w[None, :] + (y_loc - h)[:, None] * ops["K"][None, :]
+            # c_w already carries -K h (see ops/steady._steady_ops); adding
+            # K*(y-h) would double-subtract the emission offset.
+            w = c_w[None, :] + y_loc[:, None] * ops["K"][None, :]
         else:
             H_eff, h_eff, S_inv = ops["H_eff"], ops["h_eff"], ops["S_inv"]
             w = c_w[None, :] + y_loc @ ops["K"].T

@@ -296,6 +296,46 @@ def test_public_api_logpdf_steady(rng):
         api.logpdf(fx, y_nan, engine="steady")
 
 
+def test_nonzero_mean_logpdf_vs_sequential(rng):
+    """Regression: the scalar steady filter double-subtracted the emission
+    offset h (c_w already carries -K*h), so any model with a nonzero mean
+    was off by thousands of nats.  Advisor finding r2 #1."""
+    from temporalgps_tpu.gp import ConstMean
+
+    x = RegularSpacing(0.0, 0.1, 700)
+    fx = to_sde(GP(Matern52(), mean=ConstMean(1.5)))(x, 0.1)
+    model = build_lgssm(fx)
+    y = rng.standard_normal(700) + 1.5
+    lp_seq = float(lg.logpdf(model, y, engine="sequential"))
+    lp_st = float(lg.logpdf(model, y, engine="steady"))
+    np.testing.assert_allclose(lp_st, lp_seq, rtol=1e-12)
+
+    # the smoothed means inherit the same w-construction
+    from temporalgps_tpu.models.lgssm import LGSSM
+    from temporalgps_tpu.ops import steady
+
+    post = lg.posterior(model, y, engine="sequential")
+    m1, v1 = lg.marginals_diag(LGSSM(post.trans, model.emis),
+                               engine="sequential")
+    m2, v2 = steady.posterior_marginals_diag(model, y)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-8)
+
+    # vector-emission branch (h_eff path) with a nonzero mean
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+    Ns, Nt = 5, 400
+    xg = RectilinearGrid(jnp.asarray(np.linspace(-2, 2, Ns)),
+                         RegularSpacing(0.0, 0.05, Nt))
+    fx2 = to_sde(GP(Separable(EQ(), Matern52()), mean=ConstMean(0.7)))(
+        xg, 0.25)
+    m2d = build_lgssm(fx2)
+    y2 = rng.standard_normal((Nt, Ns)) + 0.7
+    lp_seq2 = float(lg.logpdf(m2d, y2, engine="sequential"))
+    lp_st2 = float(lg.logpdf(m2d, y2, engine="steady"))
+    np.testing.assert_allclose(lp_st2, lp_seq2, rtol=1e-8)
+
+
 def test_rand_exact_vs_sequential(rng):
     """rand_with_eps via the constant-matrix affine solve draws IDENTICAL
     samples to the sequential engine for the same key (exact, not a steady
