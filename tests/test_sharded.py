@@ -261,3 +261,82 @@ def test_sharded_posterior_rand_vector_emissions(rng):
     np.testing.assert_allclose(
         np.asarray(samp.mean(0)), np.asarray(mean_ref), atol=0.2
     )
+
+
+# ---------------------------------------------------------------- steady ----
+
+
+def _steady_model(rng, N=512, dt=0.2, mean=None):
+    from temporalgps_tpu.gp import ConstMean
+
+    x = RegularSpacing(0.0, dt, N)
+    kw = {} if mean is None else dict(mean=ConstMean(mean))
+    fx = to_sde(GP(0.8 * Matern52(), **kw))(x, 0.2)
+    model = build_lgssm(fx)
+    y = rng.standard_normal(N) + (mean or 0.0)
+    return model, jnp.asarray(y)
+
+
+def test_sharded_steady_logpdf_matches_single(rng):
+    """Distributed steady lml == single-device steady == sequential.
+
+    Includes a nonzero-mean model: regression for the h double-subtraction
+    bug (advisor r2 #2) shared with ops/steady."""
+    from temporalgps_tpu.ops import steady
+    from temporalgps_tpu.parallel import sharded_steady_logpdf
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    for mean in (None, 1.5):
+        model, y = _steady_model(rng, mean=mean)
+        lp_sh = float(jax.jit(
+            lambda y_: sharded_steady_logpdf(model, y_, mesh, n_warmup=48)
+        )(y))
+        lp_st = float(steady.logpdf(model, y, n_warmup=48))
+        lp_seq = float(logpdf(model, y, engine="sequential"))
+        np.testing.assert_allclose(lp_sh, lp_st, rtol=1e-11)
+        np.testing.assert_allclose(lp_sh, lp_seq, rtol=1e-11)
+
+
+def test_sharded_steady_logpdf_vector_emissions(rng):
+    """Distributed steady lml over a spatio-temporal grid model (vector
+    emissions, nonzero mean -> nonzero h_eff) == sequential."""
+    from temporalgps_tpu.gp import ConstMean, EQ
+    from temporalgps_tpu.gp import lti_sde as api
+    from temporalgps_tpu.parallel import sharded_steady_logpdf
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+    ns, nt = 8, 512
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.25, nt))
+    fx = to_sde(GP(Separable(EQ(), Matern52()), mean=ConstMean(0.7)))(x, 0.25)
+    model = api.build_lgssm(fx)
+    y_tf = jnp.asarray(rng.standard_normal((nt, ns)) + 0.7)
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    lp_sh = float(jax.jit(
+        lambda y_: sharded_steady_logpdf(model, y_, mesh, n_warmup=32)
+    )(y_tf))
+    lp_seq = float(logpdf(model, y_tf, engine="sequential"))
+    np.testing.assert_allclose(lp_sh, lp_seq, rtol=1e-10)
+
+
+def test_sharded_steady_logpdf_grad(rng):
+    """Reverse-mode hyperparameter gradient through the distributed steady
+    lml (shard_map under jit) matches the sequential gradient."""
+    from temporalgps_tpu.parallel import sharded_steady_logpdf
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    x = RegularSpacing(0.0, 0.2, N)
+    y = jnp.asarray(rng.standard_normal(N))
+
+    def loss(p, engine):
+        fx = to_sde(GP(jnp.exp(p[0]) * Matern52()))(x, jnp.exp(p[1]))
+        model = build_lgssm(fx)
+        if engine == "sharded":
+            return -sharded_steady_logpdf(model, y, mesh, n_warmup=48)
+        return -logpdf(model, y, engine=engine)
+
+    p0 = jnp.asarray([0.1, -1.0])
+    v, g = jax.jit(jax.value_and_grad(lambda p: loss(p, "sharded")))(p0)
+    v2, g2 = jax.jit(jax.value_and_grad(lambda p: loss(p, "sequential")))(p0)
+    np.testing.assert_allclose(float(v), float(v2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-7)
