@@ -431,25 +431,75 @@ def config5():
     }
 
 
-def main():
-    # Fail fast (with a parseable JSON line) if the TPU backend is
-    # unreachable — jax.devices() otherwise blocks forever when the
-    # port-relay process has died (seen after a TPU worker crash).
-    import threading
+def _relay_listening() -> bool:
+    """True if the TPU port-relay (127.0.0.1:810x) has a listener.
 
-    devs = []
-    t = threading.Thread(target=lambda: devs.append(jax.devices()), daemon=True)
-    t.start()
-    t.join(600)
-    if not devs:
+    CLAUDE.md recipe: after a TPU-worker crash the relay process dies and
+    jax.devices() hangs until the orchestrator respawns it; `ss -ltn` on the
+    810x ports is the health check."""
+    import re
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ss", "-ltn"], capture_output=True, text=True, timeout=10
+        ).stdout
+    except Exception:
+        return True  # can't tell — fall through to the jax.devices() probe
+    # /root/.tpu_init.py PORTS list: 8082..8117 in steps of {2,3,7} per decade
+    return bool(re.search(r":8(08|09|10|11)\d\b", out))
+
+
+def _wait_for_backend(total_s: float = 600.0):
+    """Poll relay health with backoff, then resolve jax.devices().
+
+    The round-end capture is unattended: a transient relay outage must not
+    turn into a red BENCH artifact (round-2 post-mortem). Polls `ss` until
+    the relay listens (up to total_s), then gives jax.devices() bounded
+    attempts. Returns the device list or None."""
+    import threading
+    import time
+
+    deadline = time.time() + total_s
+    delay = 5.0
+    while not _relay_listening():
+        if time.time() >= deadline:
+            log("relay never came up within the wait budget")
+            return None
+        log(f"port-relay not listening; retrying in {delay:.0f}s")
+        time.sleep(min(delay, max(0.0, deadline - time.time())))
+        delay = min(delay * 2, 120.0)
+
+    while True:
+        devs = []
+        t = threading.Thread(
+            target=lambda: devs.append(jax.devices()), daemon=True
+        )
+        t.start()
+        t.join(max(60.0, deadline - time.time()))
+        if devs:
+            return devs[0]
+        if time.time() >= deadline:
+            return None
+        log("jax.devices() timed out; re-checking relay and retrying")
+        time.sleep(10.0)
+
+
+def main():
+    # Resilient backend bring-up: poll relay health (up to ~10 min) before
+    # declaring the TPU unreachable, and only then emit a parseable error
+    # line — jax.devices() otherwise blocks forever when the port-relay
+    # process has died (seen after a TPU worker crash).
+    devs = _wait_for_backend(600.0)
+    if devs is None:
         print(json.dumps({
             "metric": "matern52_logpdf_grad_timesteps_per_sec_N1e6_f32",
             "value": None, "unit": "timesteps/s", "vs_baseline": None,
-            "error": "TPU backend unreachable (jax.devices() timed out; "
-                     "port-relay down?)",
+            "error": "TPU backend unreachable (relay poll + jax.devices() "
+                     "timed out after 10 min backoff)",
         }))
         sys.exit(1)
-    log("devices:", devs[0])
+    log("devices:", devs)
     configs = {}
     for name, fn in [
         ("c1_matern32_n10k_static", config1),
