@@ -349,7 +349,13 @@ def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):
     """Log marginal likelihood; NaNs in y are missing observations
     (reference: src/gp/lti_sde.jl:60-68). engine="kron" selects the
     factored spatio-temporal filter (space_time/kron.py) for plain
-    Separable models on a RectilinearGrid."""
+    Separable models on a RectilinearGrid.
+
+    engine="lti"/"steady" require fully-observed data: with concrete y a
+    NaN raises ValueError, but under jit (traced y, e.g. a training loop
+    whose data later gains gaps) the check is impossible and NaN
+    observations yield a NaN lml — guard with jnp.isnan before jit or use
+    engine='block'/'sequential' for data with gaps."""
     if _route_kron(fx, engine):
         from ..space_time import kron
 

@@ -23,6 +23,7 @@ Step order per ordering matches the reference exactly:
 """
 
 import functools
+import warnings
 from typing import Any
 
 import jax
@@ -165,6 +166,21 @@ def logpdf(model: LGSSM, y, *, engine=None, pallas=None, n_blocks=None,
             raise ValueError(
                 "engine='lti' requires a forward model with all-Fill "
                 "(time-invariant) transition and emission parameters"
+            )
+        if model.trans.x0.mean.dtype == jnp.float32:
+            # Measured: f32 reverse-mode grads through the constant-power
+            # chain drift ~linearly in depth (22% rel at N=4096).  Cannot
+            # be detected at trace time (fwd- and reverse-mode both see JVP
+            # tracers) and a custom_vjp guard would break the ACCURATE
+            # fwd-mode path, so warn once at call time instead.
+            warnings.warn(
+                "logpdf(engine='lti') at float32: reverse-mode (jax.grad) "
+                "hyperparameter gradients through the lti power chain are "
+                "numerically untrustworthy (measured 22% rel error at "
+                "N=4096). Use engine='steady'/'block', forward-mode "
+                "(learning.value_and_grad_fwd), or float64.",
+                UserWarning,
+                stacklevel=2,
             )
         return lti.logpdf(model, y, n_blocks=n_blocks)
     if engine == "steady":

@@ -189,7 +189,9 @@ def _cov_pass(model, N, B, dtype, hi_mode=None):
     # The outer combine's temporaries are ~10 (B, L, D, D) tensors; chunk
     # the B axis so peak memory stays bounded (N=1e6 at D=19 otherwise
     # needs ~18GB of HBM). Only the C-component is kept.
-    elem_bytes = 10 * L * D * D * 4
+    # under hi_mode="full" the outer combine runs in `hi` (f64): scale the
+    # chunk budget by the actual element itemsize or peak memory doubles
+    elem_bytes = 10 * L * D * D * jnp.dtype(St[0].dtype).itemsize
     C = B
     while C > 1 and C * elem_bytes > _COV_CHUNK_BYTES:
         C //= 2

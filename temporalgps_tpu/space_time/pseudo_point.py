@@ -200,7 +200,12 @@ def dtc(fx, y, z_r, *, engine=None):
 
 def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
     """Titsias-style ELBO in state-space form
-    (reference: pseudo_point.jl:62-82)."""
+    (reference: pseudo_point.jl:62-82).
+
+    engine="lti"/"steady" require fully-observed data: with concrete y a
+    NaN raises ValueError, but under jit (traced y) the check is impossible
+    and NaN observations yield a NaN loss — guard with jnp.isnan before jit
+    or use engine='block'/'sequential' when data may have gaps."""
     from ..gp.lti_sde import _storage_dtype, build_lgssm
 
     fx_dtc = dtcify(z_r, fx)
