@@ -444,7 +444,12 @@ def to_sde_matrices(k: Kernel, dtype=jnp.float64):
             [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [-(lam**3), -3 * lam**2, -3 * lam]],
             dtype,
         )
-        return F, 8 * lam**5 / 3.0, jnp.asarray([1.0, 0.0, 0.0], dtype)
+        # (2 lam)^(2p+1) (p!)^2 / (2p)! with p=2 -> 16 lam^5 / 3, the value
+        # satisfying F P_inf + P_inf F' + q L L' = 0 (tested). NOTE the
+        # reference carries 8 lam^5 / 3 (src/gp/lti_sde.jl:225), which
+        # violates its own stationary distribution; q is unused by either
+        # runtime (closed-form discretisation), so we keep the correct one.
+        return F, 16 * lam**5 / 3.0, jnp.asarray([1.0, 0.0, 0.0], dtype)
     if isinstance(k, Cosine):
         F = jnp.asarray([[0.0, -1.0], [1.0, 0.0]], dtype)
         return F, 0.0, jnp.asarray([1.0, 0.0], dtype)
@@ -457,4 +462,37 @@ def to_sde_matrices(k: Kernel, dtype=jnp.float64):
     if isinstance(k, Stretched):
         F, q, H = to_sde_matrices(k.kernel, dtype)
         return F * k.s, q, H
+    if isinstance(k, ApproxPeriodic):
+        # block-diagonal of Cosine SDEs at harmonics 2*pi*j, j = 0..n-1
+        # (reference: src/gp/lti_sde.jl:281-294); q = 0 (deterministic
+        # rotation blocks — the harmonic weights live in P_inf, see
+        # sde_atoms).
+        Fc, _, Hc = to_sde_matrices(Cosine(), dtype)
+        F = psd.block_diag([2.0 * jnp.pi * j * Fc for j in range(k.n_cos)])
+        H = jnp.tile(Hc, k.n_cos)
+        return F, 0.0, H
+    if isinstance(k, Product):
+        # F = F1 (+) F2 (Kronecker sum), q = q1*q2, H = H1 (x) H2
+        # (reference: src/gp/lti_sde.jl:377-398 lgssm_components for
+        # KernelProduct, which composes exactly these matrices).
+        F, q, H = to_sde_matrices(k.kernels[0], dtype)
+        for c in k.kernels[1:]:
+            Fc, qc, Hc = to_sde_matrices(c, dtype)
+            F = jnp.kron(F, jnp.eye(Fc.shape[0], dtype=dtype)) + jnp.kron(
+                jnp.eye(F.shape[0], dtype=dtype), Fc
+            )
+            q = q * qc
+            H = jnp.kron(H, Hc)
+        return F, q, H
+    if isinstance(k, Sum):
+        # The reference composes sums at the lgssm_components level
+        # (block-diagonal direct sum, src/gp/lti_sde.jl:404-436) and never
+        # defines to_sde(KernelSum); we expose the equivalent direct sum:
+        # block-diag F, concatenated H, and a TUPLE of the per-component
+        # white-noise intensities (q is scalar-per-companion-block in this
+        # convention, so a sum has one per summand).
+        parts = [to_sde_matrices(c, dtype) for c in k.kernels]
+        F = psd.block_diag([p[0] for p in parts])
+        H = jnp.concatenate([jnp.atleast_1d(p[2]) for p in parts])
+        return F, tuple(p[1] for p in parts), H
     raise TypeError(type(k))

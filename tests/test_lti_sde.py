@@ -229,3 +229,98 @@ def test_deterministic_block_flag_and_f32_noise_floor():
     # f64 deterministic blocks stay exactly zero-diffusion
     m64 = build_lgssm(to_sde(GP(ksum), ArrayStorage(jnp.float64))(x64, jnp.asarray(0.1)))
     assert float(np.diag(np.asarray(m64.trans.Qs.value))[-1]) == 0.0
+
+
+def test_to_sde_matrices_generate_closed_form_transitions():
+    """expm(F*dt) must reproduce the closed-form discrete transitions the
+    runtime actually uses (sde_atoms), across leaf AND composite kernels
+    (Sum/Product/ApproxPeriodic — reference: src/gp/lti_sde.jl:281-294,
+    377-436); q is validated by the Lyapunov stationarity residual
+    F P_inf + P_inf F' + q e e' = 0 for the companion-form Materns."""
+    import jax.numpy as jnp
+    import scipy.linalg as sla
+
+    from temporalgps_tpu.gp import kernels as Kmod
+
+    dt = 0.37
+    cases = [
+        Matern12(), Matern32(), Matern52(), Cosine(),
+        (0.7 * Matern32()).stretch(1.3),
+        ApproxPeriodic(0.8, n_cos=4),
+        Matern32() * Matern12(),
+        Matern52() + Matern12(),
+        Matern32() + ApproxPeriodic(0.9, n_cos=3),
+    ]
+    for k in cases:
+        F, q, H = Kmod.to_sde_matrices(k)
+        if isinstance(k, Kmod.Sum):
+            # sde_atoms(Sum) is deliberately composed at the lgssm level;
+            # the closed-form transition is the per-component direct sum
+            A_closed = sla.block_diag(*[
+                np.asarray(Kmod.sde_atoms(c, jnp.float64).transition(
+                    jnp.asarray(dt)))
+                for c in k.kernels
+            ])
+        else:
+            atoms = Kmod.sde_atoms(k, jnp.float64)
+            A_closed = np.asarray(atoms.transition(jnp.asarray(dt)))
+        A_expm = sla.expm(np.asarray(F) * dt)
+        np.testing.assert_allclose(A_expm, A_closed, atol=1e-12)
+        D = np.asarray(F).shape[0]
+        assert np.asarray(H).shape == (D,)
+
+    # q stationarity for the companion-form Materns: L = last unit vector
+    for k in (Matern12(), Matern32(), Matern52()):
+        F, q, H = Kmod.to_sde_matrices(k)
+        P = np.asarray(Kmod.sde_atoms(k, jnp.float64).P_inf)
+        Fn = np.asarray(F)
+        D = Fn.shape[0]
+        L = np.zeros((D, 1)); L[-1, 0] = 1.0
+        resid = Fn @ P + P @ Fn.T + float(q) * (L @ L.T)
+        np.testing.assert_allclose(resid, np.zeros_like(resid), atol=1e-9)
+
+
+def test_separable_offgrid_pairwise_gram(rng):
+    """Off-grid tuple-input Separable evaluation (reference:
+    src/space_time/separable_kernel.jl:9-41): on grid-ordered points it
+    must reproduce the grid gram; cross and diag variants agree with the
+    dense gram."""
+    import jax.numpy as jnp
+
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+    from temporalgps_tpu.space_time import separable as sep
+    from temporalgps_tpu.gp import EQ
+
+    k = Separable(EQ(), Matern52())
+    ns, nt = 4, 5
+    r = jnp.asarray(np.linspace(-1, 1, ns))
+    ts = RegularSpacing(0.0, 0.3, nt)
+    grid = RectilinearGrid(r, ts)
+    Kg = np.asarray(sep.gram_grid(k, grid))
+
+    # flat space-fastest points of the same grid
+    tarr = np.asarray(0.0 + 0.3 * np.arange(nt))
+    xs = jnp.asarray(np.tile(np.asarray(r), nt))
+    tt = jnp.asarray(np.repeat(tarr, ns))
+    Kp = np.asarray(sep.gram_points(k, (xs, tt)))
+    np.testing.assert_allclose(Kp, Kg, atol=1e-12)
+
+    # off-grid cross gram and elementwise diag
+    xs2 = jnp.asarray(rng.uniform(-1, 1, 7))
+    tt2 = jnp.asarray(rng.uniform(0, 2, 7))
+    Kc = np.asarray(sep.gram_points(k, (xs, tt), (xs2, tt2)))
+    assert Kc.shape == (ns * nt, 7)
+    from temporalgps_tpu.gp.kernels import gram
+    want = np.asarray(gram(k.l, xs, xs2)) * np.asarray(gram(k.r, tt, tt2))
+    np.testing.assert_allclose(Kc, want, atol=1e-12)
+
+    d_un = np.asarray(sep.gram_diag_points(k, (xs2, tt2)))
+    np.testing.assert_allclose(d_un, np.ones(7), atol=1e-12)
+    d_bi = np.asarray(sep.gram_diag_points(k, (xs2, tt2),
+                                           (jnp.flip(xs2), jnp.flip(tt2))))
+    want_bi = np.asarray([
+        float(gram(k.l, xs2[i][None], xs2[6 - i][None])[0, 0]
+              * gram(k.r, tt2[i][None], tt2[6 - i][None])[0, 0])
+        for i in range(7)
+    ])
+    np.testing.assert_allclose(d_bi, want_bi, atol=1e-12)
