@@ -1,32 +1,48 @@
-"""Closed-form logpdf gradients via the Fisher/EM identity.
+"""Closed-form logpdf gradients via the Fisher/EM identity, innovations form.
 
 Autodiff through the filter scans stores (or rematerialises) per-step
 residuals; the classical alternative computes
 
     d lml / d theta = E_q[ d log p(x, y; theta) / d theta ]
 
-under the smoothing posterior q — which needs only smoothed marginals and
-lag-one cross-covariances, all available in closed form from the parallel
-smoother. The result: logpdf+gradient costs ~3 forward-speed passes (filter,
-dynamics inversion, smoothing prefix + batched contractions), fully parallel,
-with no reverse-mode scan residuals. (Cf. the classical EM sufficient
-statistics for LGSSMs, e.g. Sarkka, Bayesian Filtering and Smoothing, ch. 12;
-the reference has no analogue — its gradients come from Mooncake AD,
-reference: NEWS.md:9-17.)
+under the smoothing posterior q — which needs only smoothed marginals plus
+filter predictions, all available in closed form from the parallel
+filter/smoother. The result: logpdf+gradient costs ~3-4 forward-speed passes
+(filter, dynamics inversion, smoothing prefix + batched contractions), fully
+parallel, no reverse-mode scan residuals, and cost INDEPENDENT of the
+hyperparameter count. (Cf. the classical EM sufficient statistics for
+LGSSMs, e.g. Sarkka, Bayesian Filtering and Smoothing, ch. 12; the reference
+has no analogue — its gradients come from Mooncake AD, reference:
+NEWS.md:9-17.)
+
+INNOVATIONS FORM (the round-3 conditioning fix). The textbook statistics
+contract with Q^{-1}, whose smallest eigenvalue scales like (lam dt)^(2p+1)
+for a Matern-p/2 model: at lam*dt << 1 they amplify f64 round-off in the
+smoothed moments catastrophically (the round-2 implementation was unusable
+below lam*dt ~ 0.1). But the Q^{-1} factors cancel ANALYTICALLY against the
+smallness of the posterior noise statistics. With J the RTS gain (== the
+reverse-LGSSM transition), G = Q P_pred^{-1}, and the identities
+A J = I - G, G P_pred = Q:
+
+    E[w_t]          = G (mu_t - m_pred_t)
+    Cov[w_t] - Q    = G (Sig_t - P_pred_t) G'
+    Cov[w_t, x_t-1] = G (Sig_t - P_pred_t) J'
+
+so Q^{-1} G = P_pred^{-1} collapses every gradient to contractions with the
+WELL-CONDITIONED predicted covariance:
+
+    dA_t = P_pred^{-1} [ (Sig_t - P_pred) J' + (mu_t - m_pred) mu^s_t-1' ]
+    da_t = P_pred^{-1} (mu_t - m_pred)
+    dQ_t = 1/2 P_pred^{-1} [ (Sig_t - P_pred)
+                             + (mu_t - m_pred)(mu_t - m_pred)' ] P_pred^{-1}
+
+No Q^{-1} appears anywhere; accuracy is flat in lam*dt (tested down to
+lam*dt = 1e-3, f32 and f64).
 
 Scope: forward-ordered, scalar-emission models with SPD per-step Q (the
 Matern family and sums of Materns). Deterministic state blocks (Cosine /
-Constant / ApproxPeriodic components have Q = 0) make dlml/dQ singular —
-use autodiff for those.
-
-NUMERICAL CAVEAT (measured): the dQ/dA terms contract with Q^{-1}, whose
-smallest eigenvalue scales like (lam dt)^(2p+1) for a Matern-p/2 model — at
-dt << 1/lam the contraction amplifies float64 round-off in the smoothed
-sufficient statistics (rel. gradient error ~3e-9 at lam*dt ~ 4, ~3e-7 at ~1,
-unusable below ~0.1). Use the default autodiff gradients for densely sampled
-series; this path is exact-in-exact-arithmetic and efficient for coarsely
-sampled / well-conditioned regimes. A square-root-form rewrite is the known
-fix (cf. PAPERS.md, parallel square-root smoothers) — future work.
+Constant / ApproxPeriodic components have Q = 0) make the complete-data
+density degenerate — use autodiff for those.
 
 Exposed as a custom_vjp: the primal runs the block engine; the backward pass
 evaluates the closed forms above.
@@ -47,23 +63,36 @@ def _mT(X):
 
 
 def _posterior_stats(model, y, engine):
-    """Smoothed marginals (incl. the initial state), lag-one cross-covs, and
-    what the emission gradients need. All batched over time."""
+    """Smoothed marginals, the RTS gains (the reverse-LGSSM transitions),
+    filter predictions, and the initial-state smoothed moments. All batched
+    over time."""
     from ..models import lgssm as lg
 
     post = lg.posterior(model, y, engine=engine)
     xs = lg.latent_marginals(post, engine=engine)  # mu_t, Sig_t for t=1..N
     mu, Sig = xs.mean, psd.symmetrize(xs.cov)
 
-    A_rev = tmaterialize(post.trans.As)      # (N, D, D): maps x_t -> x_{t-1}
+    J = tmaterialize(post.trans.As)          # (N, D, D): the RTS gain J_{t-1}
     a_rev = tmaterialize(post.trans.offs)
     Q_rev = tmaterialize(post.trans.Qs)
 
-    # Cov(x_{t-1}, x_t | y) = A_rev_t Sig_t ; index 0 gives the initial state.
-    cross_prev_t = A_rev @ Sig               # (N, D, D)
-    mu_prev = jnp.einsum("nij,nj->ni", A_rev, mu) + a_rev       # smoothed x_{t-1}
-    Sig_prev = psd.symmetrize(A_rev @ Sig @ _mT(A_rev) + Q_rev)  # Cov(x_{t-1})
-    return mu, Sig, mu_prev, Sig_prev, cross_prev_t
+    mu_prev = jnp.einsum("nij,nj->ni", J, mu) + a_rev  # smoothed x_{t-1}
+    # initial-state smoothed moments (index 0 of the reverse model)
+    Sig_prev0 = psd.symmetrize(J[0] @ Sig[0] @ J[0].T + Q_rev[0])
+
+    # filter predictions: m_pred_t = A m_f_{t-1} + a, P_pred = A P_f A' + Q
+    filt = lg.filter_(model, y, engine=engine)
+    A = tmaterialize(model.trans.As)
+    a = tmaterialize(model.trans.offs)
+    Q = tmaterialize(model.trans.Qs)
+    x0 = model.trans.x0
+    m_fp = jnp.concatenate([x0.mean[None], filt.mean[:-1]], axis=0)
+    P_fp = jnp.concatenate(
+        [psd.symmetrize(x0.cov)[None], psd.symmetrize(filt.cov[:-1])], axis=0
+    )
+    m_pred = jnp.einsum("nij,nj->ni", A, m_fp) + a
+    P_pred = psd.symmetrize(A @ P_fp @ _mT(A) + Q)
+    return mu, Sig, mu_prev, Sig_prev0, J, m_pred, P_pred
 
 
 def fisher_cotangents(model, y, g, *, engine="parallel"):
@@ -74,43 +103,26 @@ def fisher_cotangents(model, y, g, *, engine="parallel"):
     assert isinstance(e, em.ScalarEmissions) and model.trans.forward
 
     dtype = model.trans.x0.dtype
-    mu, Sig, mu_prev, Sig_prev, cross_prev = _posterior_stats(model, y, engine)
-    N = mu.shape[0]
+    (mu, Sig, mu_prev, Sig_prev0, J, m_pred, P_pred) = _posterior_stats(
+        model, y, engine
+    )
     D = mu.shape[-1]
 
-    A = tmaterialize(model.trans.As)
-    a = tmaterialize(model.trans.offs)
-    Q = tmaterialize(model.trans.Qs)
     H = tmaterialize(e.H)
     h = tmaterialize(e.h)
     s = tmaterialize(e.s)
     y = jnp.asarray(y, dtype)
 
-    Qinv = psd.small_inv(psd.symmetrize(Q)) if D <= 3 else jnp.linalg.inv(
-        psd.symmetrize(Q)
+    # --- transition gradients (innovations form — see module docstring) --
+    Lp = psd.cholesky(P_pred)
+    d = mu - m_pred                        # (N, D)
+    X = Sig - P_pred                       # (N, D, D)
+    da = psd.chol_solve(Lp, d[..., :, None])[..., 0]
+    dA = psd.chol_solve(
+        Lp, X @ _mT(J) + d[..., :, None] * mu_prev[..., None, :]
     )
-
-    # --- transition gradients -------------------------------------------
-    # e_t = mu_t - A mu_{t-1} - a
-    Amup = jnp.einsum("nij,nj->ni", A, mu_prev)
-    e_t = mu - Amup - a
-    # E[x_t x_{t-1}'] (centered): C_t = cross_prev' ; E[x_{t-1} x_{t-1}'].
-    C_t = _mT(cross_prev)  # Cov(x_t, x_{t-1})
-    Exx_prev = Sig_prev + mu_prev[..., :, None] * mu_prev[..., None, :]
-    Ex_cross = C_t + mu[..., :, None] * mu_prev[..., None, :]
-    dA = Qinv @ (
-        Ex_cross - A @ Exx_prev - a[..., :, None] * mu_prev[..., None, :]
-    )
-    da = jnp.einsum("nij,nj->ni", Qinv, e_t)
-    # M_t = E[(x_t - A x_{t-1} - a)(...)'] = Sig_t - C_t A' - A C_t' + A Sig_{t-1} A' + e e'
-    M = (
-        Sig
-        - C_t @ _mT(A)
-        - A @ _mT(C_t)
-        + A @ Sig_prev @ _mT(A)
-        + e_t[..., :, None] * e_t[..., None, :]
-    )
-    dQ = 0.5 * (Qinv @ (M - psd.symmetrize(Q)) @ Qinv)
+    S_q = X + d[..., :, None] * d[..., None, :]
+    dQ = 0.5 * _mT(psd.chol_solve(Lp, _mT(psd.chol_solve(Lp, S_q))))
 
     # --- emission gradients ---------------------------------------------
     r = y - (jnp.einsum("ni,ni->n", H, mu) + h)
@@ -122,14 +134,15 @@ def fisher_cotangents(model, y, g, *, engine="parallel"):
     dy = -r / s
 
     # --- initial state gradients ----------------------------------------
+    # same innovations structure with the "prediction" being the prior x0:
+    # dm0 = P0^{-1} d0, dP0 = 1/2 P0^{-1} [(Sig0 - P0) + d0 d0'] P0^{-1}
     m0, P0 = model.trans.x0.mean, psd.symmetrize(model.trans.x0.cov)
-    mu0, Sig0 = mu_prev[0], Sig_prev[0]
-    P0inv = psd.small_inv(P0) if D <= 3 else jnp.linalg.inv(P0)
+    mu0, Sig0 = mu_prev[0], Sig_prev0
+    L0 = psd.cholesky(P0)
     d0 = mu0 - m0
-    dm0 = P0inv @ d0
-    dP0 = 0.5 * (
-        P0inv @ (Sig0 + d0[:, None] * d0[None, :] - P0) @ P0inv
-    )
+    dm0 = psd.chol_solve(L0, d0[:, None])[:, 0]
+    S0 = (Sig0 - P0) + d0[:, None] * d0[None, :]
+    dP0 = 0.5 * psd.chol_solve(L0, psd.chol_solve(L0, S0).T)
 
     # --- package, honouring Fill structure ------------------------------
     def like(leaf, grads):

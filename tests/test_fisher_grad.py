@@ -44,11 +44,7 @@ def test_model_cotangents_match_autodiff(rng, time_varying):
 
 
 def test_hyperparameter_gradients_match(rng):
-    """End-to-end through the kernel compiler: Fisher vs autodiff.
-
-    dt is kept ~1/lam: the Q^{-1} contraction amplifies round-off at small
-    dt (see the caveat in ops/fisher.py), which is a conditioning property,
-    not a correctness bug — verified against finite differences."""
+    """End-to-end through the kernel compiler: Fisher vs autodiff."""
     N = 200
     x = RegularSpacing(0.0, 0.9, N)
     y = jnp.asarray(rng.standard_normal(N))
@@ -85,3 +81,28 @@ def test_sum_kernel_gradients_match(rng):
     g_f = jax.grad(lambda p: logpdf_fisher(build(p), y))(jnp.zeros(2))
     g_a = jax.grad(lambda p: logpdf(build(p), y, engine="sequential"))(jnp.zeros(2))
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_a), rtol=1e-6, atol=1e-8)
+
+
+def test_small_lamdt_conditioning_fixed(rng):
+    """Round-3 innovations-form rewrite: gradient accuracy must be flat in
+    lam*dt (the old Q^{-1}-contraction form lost ~5 digits per decade and
+    was unusable below lam*dt ~ 0.1).  Residual error at extreme
+    oversampling is cond(P_pred)*eps from the materialised smoother
+    moments — f64 stays under 1e-4 even at lam*dt = 1e-3."""
+    N = 256
+    lam = np.sqrt(5.0)
+    y = jnp.asarray(rng.standard_normal(N))
+    p0 = jnp.asarray([0.1, -0.2, -1.0])
+    for lamdt, tol in ((1e-3, 1e-4), (1e-2, 1e-5), (1e-1, 1e-6), (1.0, 1e-7)):
+        dt = lamdt / lam
+        x = RegularSpacing(0.0, dt, N)
+
+        def build(p):
+            s2, sc, noise = jnp.exp(p)
+            return api.build_lgssm(
+                to_sde(GP((s2 * Matern52()).stretch(sc)))(x, noise))
+
+        g_f = jax.grad(lambda p: logpdf_fisher(build(p), y))(p0)
+        g_a = jax.grad(lambda p: logpdf(build(p), y, engine="sequential"))(p0)
+        rel = float(np.max(np.abs(g_f - g_a) / (np.abs(g_a) + 1e-12)))
+        assert rel < tol, (lamdt, rel)
