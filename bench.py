@@ -351,6 +351,33 @@ def config4():
     except Exception as e:  # noqa: BLE001 — per-engine resilience
         log(f"c4 [kron] failed: {type(e).__name__}: {e}")
     detail["engine"] = best_engine
+
+    # Reference's own big-space bench shape (bench/lgssm.jl:69-160:
+    # N_space=247, D=741). Regression watch for the big-D path: the auto
+    # engine must pick kron here and must never crash the worker.
+    try:
+        Ns2, Nt2 = (25, 10) if SMOKE else (247, 100)
+        r2 = jnp.asarray(np.linspace(-3, 3, Ns2), dtype)
+        x2 = RectilinearGrid(
+            r2,
+            RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.01, dtype), Nt2),
+        )
+        fx2 = to_sde(GP(k), ArrayStorage(dtype))(x2, jnp.asarray(0.1, dtype))
+        y2 = jnp.asarray(
+            np.random.default_rng(1).standard_normal(Ns2 * Nt2), dtype
+        )
+        f_big = jax.jit(lambda y_: api.logpdf(fx2, y_))  # auto engine
+        dt_big, cs2, _ = timed(f_big, y2, iters=iters)
+        log(
+            f"c4b reference shape {Ns2}x{Nt2} (D={3*Ns2}) logpdf[auto]: "
+            f"{dt_big*1e3:.2f} ms ({Ns2*Nt2/dt_big/1e6:.2f} Mobs/s) "
+            f"compile {cs2:.0f}s"
+        )
+        detail["ref_shape_247x100_ms"] = round(dt_big * 1e3, 2)
+        detail["ref_shape_obs_per_s"] = round(Ns2 * Nt2 / dt_big, 1)
+    except Exception as e:  # noqa: BLE001 — per-engine resilience
+        log(f"c4b [ref shape] failed: {type(e).__name__}: {e}")
+        detail["ref_shape_error"] = f"{type(e).__name__}: {e}"
     return {
         "value": round(Ns * Nt / dt_best, 1),
         "unit": "logpdf obs/s",

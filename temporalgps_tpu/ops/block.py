@@ -372,6 +372,7 @@ def _phase2_prefix(elems, phase2):
     if phase2 == "sqrt":
         from . import sqrt as sq
 
+        sq.check_dim(elems[0].shape[-1])
         pref = jax.lax.associative_scan(
             sq._combine_sqrt, sq.to_sqrt_element(elems), axis=0
         )

@@ -140,37 +140,42 @@ def _cov_pass(model, N, B, dtype, hi_mode=None):
     L = N // B
     assert B * L == N, (N, B)
     hi = jnp.float64 if hi_mode and jax.config.jax_enable_x64 else dtype
-    e0, trans0, e_single = _const_element(model, hi)
-    E1 = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
+    # latency_mode over the thin-batched chain (the L-power doubling and
+    # log2(B) block-start levels): at warmup shapes (L=32, B=16) every
+    # level's small chol/tri_solve would otherwise be an XLA custom call,
+    # each ~0.5-1 ms of latency — see utils/psd.latency_mode.
+    with psd.latency_mode():
+        e0, trans0, e_single = _const_element(model, hi)
+        E1 = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
 
-    # within-block powers E^1..E^L by binary doubling (see _all_powers)
-    E_pows = _all_powers(E1, L, assoc._combine_filter)
-    E_L = jax.tree.map(lambda x: x[-1], E_pows)
+        # within-block powers E^1..E^L by binary doubling (see _all_powers)
+        E_pows = _all_powers(E1, L, assoc._combine_filter)
+        E_L = jax.tree.map(lambda x: x[-1], E_pows)
 
-    # block-start powers E^(bL), b = 0..B-1 (identity at b=0)
-    if B > 1:
-        E_L_b = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (B - 1,) + x.shape), E_L
+        # block-start powers E^(bL), b = 0..B-1 (identity at b=0)
+        if B > 1:
+            E_L_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (B - 1,) + x.shape), E_L
+            )
+            S = jax.lax.associative_scan(assoc._combine_filter, E_L_b, axis=0)
+            ident_b = jax.tree.map(lambda x: x[None], _ident_elem(D, hi))
+            S = jax.tree.map(
+                lambda i, s: jnp.concatenate([i, s], axis=0), ident_b, S
+            )
+        else:
+            S = jax.tree.map(lambda x: x[None], _ident_elem(D, hi))
+
+        # prior-composed block starts, then the (B, L)-batched outer combine
+        x0 = model.trans.x0
+        prior = (
+            jnp.zeros((D, D), hi),
+            x0.mean.astype(hi),
+            psd.symmetrize(x0.cov).astype(hi),
+            jnp.zeros((D,), hi),
+            jnp.zeros((D, D), hi),
         )
-        S = jax.lax.associative_scan(assoc._combine_filter, E_L_b, axis=0)
-        ident_b = jax.tree.map(lambda x: x[None], _ident_elem(D, hi))
-        S = jax.tree.map(
-            lambda i, s: jnp.concatenate([i, s], axis=0), ident_b, S
-        )
-    else:
-        S = jax.tree.map(lambda x: x[None], _ident_elem(D, hi))
-
-    # prior-composed block starts, then the (B, L)-batched outer combine
-    x0 = model.trans.x0
-    prior = (
-        jnp.zeros((D, D), hi),
-        x0.mean.astype(hi),
-        psd.symmetrize(x0.cov).astype(hi),
-        jnp.zeros((D,), hi),
-        jnp.zeros((D, D), hi),
-    )
-    prior_b = jax.tree.map(lambda x: x[None], prior)
-    St = assoc._combine_filter(prior_b, S)  # (B, ...)
+        prior_b = jax.tree.map(lambda x: x[None], prior)
+        St = assoc._combine_filter(prior_b, S)  # (B, ...)
 
     if hi != dtype and hi_mode == "chain":
         St = jax.tree.map(lambda x: x.astype(dtype), St)

@@ -52,6 +52,28 @@ from ..models import emissions as em
 from . import assoc
 
 
+# Hard cap on the state dim for the sqrt combine. Measured on v5e: forcing
+# block+phase2="sqrt" at D=741 (the reference's Ns=247 bench shape,
+# /root/reference/bench/lgssm.jl:75) crashed the TPU WORKER and the compile
+# port-relay at Nt=100 (survived Nt=25 at 1.03 s) — the batched (D, 2D) QR
+# workspaces blow past what the runtime survives. Big-D models are served
+# by engine="sequential"/"kron" (which auto-selects at Ns >= 80); sqrt is a
+# moderate-D robustness dial. Raise here rather than let a public-API
+# combination take down the device.
+SQRT_MAX_D = 192
+
+
+def check_dim(D):
+    if D > SQRT_MAX_D:
+        raise ValueError(
+            f"square-root combine rejected at latent_dim={D} > "
+            f"{SQRT_MAX_D}: batched (D, 2D) QR at this size has crashed "
+            "the TPU worker (see ops/sqrt.py SQRT_MAX_D). Use "
+            "engine='sequential' (exact) or engine='kron' (factored "
+            "spatio-temporal) for big-state models."
+        )
+
+
 def _mT(X):
     return jnp.swapaxes(X, -1, -2)
 
@@ -207,6 +229,7 @@ def _filter_prefix(model, y):
     Same contract as assoc._filter_prefix: outs has N+1 leading entries with
     outs[0] = x0; covariances are reconstituted as U U^T only at the output
     boundary (the recursion itself never leaves root form)."""
+    check_dim(model.latent_dim)
     F_ev, c_ev, Q_ev, F_it, c_it, Q_it, emis_it, y_it = assoc._iteration_view(
         model, y
     )

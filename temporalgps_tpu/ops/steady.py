@@ -121,20 +121,24 @@ def _steady_filter_cov(model, N, dtype, n_warmup=None):
     to 2^ceil(log2 N) buys nothing."""
     D = model.latent_dim
     hi = _hi(dtype)
-    e0, _, _ = lti._const_element(model, hi)
-    E = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
-    t_cap = min(N, 8 * (n_warmup or DEFAULT_WARMUP))
-    for _ in range(max(1, math.ceil(math.log2(max(t_cap, 2))))):
-        E = assoc._combine_filter(E, E)
-    x0 = model.trans.x0
-    prior = (
-        jnp.zeros((D, D), hi),
-        x0.mean.astype(hi),
-        psd.symmetrize(x0.cov).astype(hi),
-        jnp.zeros((D,), hi),
-        jnp.zeros((D, D), hi),
-    )
-    return psd.symmetrize(assoc._combine_filter(prior, E)[2])
+    # latency_mode: ~12 unbatched f64 combines x ~5 small chol/tri_solve
+    # custom calls each was a ~50-100 ms N-independent floor; the unrolled
+    # paths fuse the whole chain into one custom-call-free XLA program.
+    with psd.latency_mode():
+        e0, _, _ = lti._const_element(model, hi)
+        E = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
+        t_cap = min(N, 8 * (n_warmup or DEFAULT_WARMUP))
+        for _ in range(max(1, math.ceil(math.log2(max(t_cap, 2))))):
+            E = assoc._combine_filter(E, E)
+        x0 = model.trans.x0
+        prior = (
+            jnp.zeros((D, D), hi),
+            x0.mean.astype(hi),
+            psd.symmetrize(x0.cov).astype(hi),
+            jnp.zeros((D,), hi),
+            jnp.zeros((D, D), hi),
+        )
+        return psd.symmetrize(assoc._combine_filter(prior, E)[2])
 
 
 def affine_const_states(G, w, m0, *, block_len=16):
@@ -231,7 +235,14 @@ def _steady_ops(model, dtype, N, n_warmup=None):
     """Constant late-segment operators from the converged covariance.
 
     Everything here is O(1)-sized (D- and Dout-dim), computed in `_hi`
-    precision, and cast to the working dtype on the way out — see `_hi`."""
+    precision, and cast to the working dtype on the way out — see `_hi`.
+    Runs under psd.latency_mode(): unbatched small solves would otherwise
+    each pay XLA custom-call latency (probes/f64_combine_micro.py)."""
+    with psd.latency_mode():
+        return _steady_ops_impl(model, dtype, N, n_warmup)
+
+
+def _steady_ops_impl(model, dtype, N, n_warmup=None):
     hi = _hi(dtype)
     P_ss = _steady_filter_cov(model, N, dtype, n_warmup)  # already hi
     A0 = model.trans.As.value.astype(hi)
@@ -422,10 +433,11 @@ def _prior_cov_segments(model, N, k, dtype):
     if k >= N:
         return P_early[:N], None
     hi = _hi(dtype)
-    E = jax.tree_util.tree_map(lambda l: l[-1].astype(hi), E_pows)
-    for _ in range(max(1, math.ceil(math.log2(max(N // max(k, 1), 2))))):
-        E = assoc._combine_affine(E, E)
-    P_ss = psd.symmetrize(E[0] @ P0.astype(hi) @ E[0].T + E[2])
+    with psd.latency_mode():
+        E = jax.tree_util.tree_map(lambda l: l[-1].astype(hi), E_pows)
+        for _ in range(max(1, math.ceil(math.log2(max(N // max(k, 1), 2))))):
+            E = assoc._combine_affine(E, E)
+        P_ss = psd.symmetrize(E[0] @ P0.astype(hi) @ E[0].T + E[2])
     return P_early, P_ss.astype(dtype)
 
 
@@ -500,7 +512,8 @@ def rand_with_eps(model, eps_t, eps_e, x_init, *, block_len=16):
     A0 = model.trans.As.value.astype(dtype)
     a0 = model.trans.offs.value.astype(dtype)
     Q0 = model.trans.Qs.value.astype(dtype)
-    L = psd.cholesky(psd.add_jitter(psd.symmetrize(Q0), RAND_JITTER))
+    with psd.latency_mode():
+        L = psd.cholesky(psd.add_jitter(psd.symmetrize(Q0), RAND_JITTER))
     w = a0 + eps_t @ L.T
     xs = affine_const_states(A0, w, x_init, block_len=block_len)
     e_single = lti._single(model.emis)
@@ -515,10 +528,11 @@ def rand_with_eps(model, eps_t, eps_e, x_init, *, block_len=16):
 def _smoothed_cov_fixed_point(J_ss, C_mid, N):
     """Fixed point of the backward covariance map X -> J X J' + C via
     binary-power composition of the affine covariance map."""
-    Jp, Cp = J_ss, C_mid
-    for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
-        Cp = psd.symmetrize(Jp @ Cp @ Jp.T + Cp)
-        Jp = Jp @ Jp
+    with psd.latency_mode():
+        Jp, Cp = J_ss, C_mid
+        for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
+            Cp = psd.symmetrize(Jp @ Cp @ Jp.T + Cp)
+            Jp = Jp @ Jp
     return Cp
 
 
@@ -569,8 +583,9 @@ def posterior_marginals_diag(model, y, *, emis=None, n_warmup=None,
     J_head = _mT(psd.chol_solve(Lp, A0 @ q["P_f"]))  # (k, D, D)
     # constant gain in hi precision: a bias in J_ss drifts the smoothed
     # means over the entire late segment (see _hi)
-    Lps = psd.cholesky(psd.add_jitter(ops["P_pred_hi"], POSTERIOR_JITTER))
-    J_ss_hi = _mT(psd.chol_solve(Lps, ops["A0_hi"] @ ops["P_ss_hi"]))
+    with psd.latency_mode():
+        Lps = psd.cholesky(psd.add_jitter(ops["P_pred_hi"], POSTERIOR_JITTER))
+        J_ss_hi = _mT(psd.chol_solve(Lps, ops["A0_hi"] @ ops["P_ss_hi"]))
     J_ss = J_ss_hi.astype(dtype)
 
     # ---- smoothed means ----

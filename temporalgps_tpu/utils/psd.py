@@ -114,6 +114,34 @@ def _chol_mid_jvp(primals, tangents):
 # sequential engine regressed 1.9 s -> 9.4 s when they ran per-step).
 _UNROLL_MIN_BATCH = 256
 
+# Trace-time escape hatch for LATENCY-bound call sites: unbatched/thin
+# constant-operator chains (the steady engine's warmup power chain and
+# fixed-point squarings) pay ~0.5-1 ms of XLA-TPU custom-call latency per
+# small cholesky/triangular_solve — ~5 such calls per element combine, and
+# the chains are 12-25 combines deep (an N-independent ~100-200 ms floor,
+# probes/f64_combine_micro.py). Inside `latency_mode()` the unrolled
+# mid-D paths run regardless of batch size: pure elementwise code XLA
+# fuses into the surrounding program, no custom calls. Do NOT use inside
+# per-step scan bodies (see _UNROLL_MIN_BATCH note above).
+_FORCE_UNROLL = False
+
+
+class latency_mode:
+    """Context manager forcing the unrolled cholesky/tri_solve paths for
+    D <= _UNROLL_MAX_D independent of batch size. Trace-time only: wrap the
+    *construction* of constant-operator chains, not data passes."""
+
+    def __enter__(self):
+        global _FORCE_UNROLL
+        self._prev = _FORCE_UNROLL
+        _FORCE_UNROLL = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_UNROLL
+        _FORCE_UNROLL = self._prev
+        return False
+
 
 def _batch_elems(*shapes) -> int:
     import numpy as _np
@@ -128,7 +156,9 @@ def cholesky(P):
     D = P.shape[-1]
     if D <= 4:
         return _chol_unrolled(P, D)
-    if D <= _UNROLL_MAX_D and _batch_elems(P.shape) >= _UNROLL_MIN_BATCH:
+    if D <= _UNROLL_MAX_D and (
+        _FORCE_UNROLL or _batch_elems(P.shape) >= _UNROLL_MIN_BATCH
+    ):
         return _chol_mid(P)
     return jnp.linalg.cholesky(P)
 
@@ -220,7 +250,9 @@ def tri_solve(L, B, *, lower=True, trans=False):
     D = L.shape[-1]
     if D <= 4:
         return _tri_solve_unrolled(L, B, D, lower, trans)
-    if D <= _UNROLL_MAX_D and _batch_elems(L.shape, B.shape) >= _UNROLL_MIN_BATCH:
+    if D <= _UNROLL_MAX_D and (
+        _FORCE_UNROLL or _batch_elems(L.shape, B.shape) >= _UNROLL_MIN_BATCH
+    ):
         return _tri_solve_mid(L, B, lower, trans)
     # jax.scipy.solve_triangular does not numpy-broadcast mismatched batch
     # dims (e.g. block-batched L (B,D,D) vs time-invariant Fill rhs (D,K));

@@ -120,3 +120,22 @@ def test_sqrt_phase2_survives_f32_cliff(rng):
     # f32 agreement: the two schedules round differently; observed ~2.6e-4
     # relative on this workload (the covariance form is NaN, not 1e-3 off).
     np.testing.assert_allclose(lp_sqrt, lp_seq, rtol=1e-3)
+
+
+def test_sqrt_big_d_guard(rng):
+    """SQRT_MAX_D guard: public engine='sqrt' and phase2='sqrt' must refuse
+    big-state models instead of reaching the batched (D, 2D) QR that
+    crashed the TPU worker at D=741 (the reference's Ns=247 bench shape;
+    docs/ROADMAP.md big-space notes)."""
+    from temporalgps_tpu.ops import sqrt as sq
+
+    model = _spacetime_f32_model(Ns=(sq.SQRT_MAX_D // 3) + 1, Nt=4)
+    assert model.latent_dim > sq.SQRT_MAX_D
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, model.latent_dim // 3)),
+        jnp.float32,
+    )
+    with pytest.raises(ValueError, match="square-root combine rejected"):
+        logpdf(model, y, engine="sqrt")
+    with pytest.raises(ValueError, match="square-root combine rejected"):
+        logpdf(model, y, engine="block", pallas=False, n_blocks=2, phase2="sqrt")
