@@ -119,23 +119,15 @@ def _const_element(model, dtype):
     return e0, (A0, a0, Q0), e_single
 
 
-def _cov_pass(model, N, B, dtype, hi_mode=None):
-    """Filtering covariance at every step via constant-element powers.
+def _cov_chain(model, N, B, dtype, hi_mode=None):
+    """The constant-element power chain shared by the row-layout and
+    component-major covariance passes: within-block powers E^1..E^L,
+    block-start powers composed with the prior.
 
-    Returns (P_f (N, D, D) with P_f[t] = filtering cov after step t+1,
-    e0, trans values, single emission). N must equal B*L exactly.
-
-    hi_mode: None (all work in `dtype`), "chain" (only the DEEP
-    compositions — the L-step power scan and the log2(B) block-start scan —
-    run in f64, cast down before the depth-1 batched outer combine), or
-    "full" (the whole pass in f64, cast on return). Reverse-mode through
-    the f32 power chain loses gradient accuracy linearly in chain depth
-    (measured ~5e-5/step rel at D=5); "chain" removes the depth-growing
-    term leaving a flat ~3e-3 rel residual, "full" reaches ~4e-5 at the
-    cost of f64 for the O(N) outer combine too. Callers pick by how much
-    f64 (TPU-emulated, ~10-30x) they can afford; the steady warmup uses
-    "full" (its N is the small warmup length).
-    """
+    Returns (St, E_pows, e0, trans0, e_single) where St is the (B,)-batched
+    prior-composed block-start element and E_pows the (L,)-batched element
+    powers, both already cast per `hi_mode` ("chain" casts them down to
+    `dtype`; "full" leaves them in f64 for an f64 outer combine)."""
     D = model.latent_dim
     L = N // B
     assert B * L == N, (N, B)
@@ -165,7 +157,7 @@ def _cov_pass(model, N, B, dtype, hi_mode=None):
         else:
             S = jax.tree.map(lambda x: x[None], _ident_elem(D, hi))
 
-        # prior-composed block starts, then the (B, L)-batched outer combine
+        # prior-composed block starts
         x0 = model.trans.x0
         prior = (
             jnp.zeros((D, D), hi),
@@ -188,6 +180,29 @@ def _cov_pass(model, N, B, dtype, hi_mode=None):
             if jnp.issubdtype(l.dtype, jnp.floating) else l,
             e_single,
         )
+    return St, E_pows, e0, trans0, e_single
+
+
+def _cov_pass(model, N, B, dtype, hi_mode=None):
+    """Filtering covariance at every step via constant-element powers.
+
+    Returns (P_f (N, D, D) with P_f[t] = filtering cov after step t+1,
+    e0, trans values, single emission). N must equal B*L exactly.
+
+    hi_mode: None (all work in `dtype`), "chain" (only the DEEP
+    compositions — the L-step power scan and the log2(B) block-start scan —
+    run in f64, cast down before the depth-1 batched outer combine), or
+    "full" (the whole pass in f64, cast on return). Reverse-mode through
+    the f32 power chain loses gradient accuracy linearly in chain depth
+    (measured ~5e-5/step rel at D=5); "chain" removes the depth-growing
+    term leaving a flat ~3e-3 rel residual, "full" reaches ~4e-5 at the
+    cost of f64 for the O(N) outer combine too. Callers pick by how much
+    f64 (TPU-emulated, ~10-30x) they can afford; the steady warmup uses
+    "full" (its N is the small warmup length).
+    """
+    St, E_pows, e0, trans0, e_single = _cov_chain(model, N, B, dtype, hi_mode)
+    D = model.latent_dim
+    L = N // B
 
     Ep_e = jax.tree.map(lambda x: x[None], E_pows)      # (1, L, ...)
 
@@ -332,8 +347,25 @@ def _filter_pass(model, y, n_blocks=None, cov_hi=False):
     return out
 
 
+# Component-major layout dispatch for scalar moderate-D models: None = auto
+# (TPU backend, scalar emissions, 4 < D <= 48 — where the (8, 128)
+# tile-padding tax on (N, D, D) row layout dominates); True/False forces.
+CM_LAYOUT = None
+
+
 def logpdf(model, y, *, n_blocks=None):
     """lml of a Fill-parameter forward model; no missing data."""
+    from . import lti_cm
+
+    use_cm = CM_LAYOUT
+    if use_cm is None:
+        use_cm = (
+            jax.default_backend() == "tpu"
+            and lti_cm.supported(model)
+            and 4 < model.latent_dim <= 48
+        )
+    if use_cm and lti_cm.supported(model):
+        return lti_cm.logpdf(model, y, n_blocks=n_blocks)
     return _lml_from_filter(_filter_pass(model, y, n_blocks))
 
 
