@@ -125,6 +125,40 @@ def value_and_grad_fwd_lgssm(model_fn, y, *, n_blocks=None, fallback=None):
     return vg
 
 
+def value_and_grad_fisher(model_fn, y, *, n_blocks=None, engine="parallel"):
+    """value_and_grad of `p -> logpdf(model_fn(p), y)` via the closed-form
+    Fisher/EM identity in innovations form (ops/fisher.py).
+
+    Cost is ~3-4 forward-speed passes INDEPENDENT of the hyperparameter
+    count k — the many-hyperparameter learning path. The fused forward-mode
+    alternative (`value_and_grad_fwd_lgssm`) scales as (1+k) forward FLOPs
+    and its compile grows with k (the k=10 N=1M graph has OOM-killed the
+    TPU compile helper); reverse mode stores per-step scan residuals. The
+    Fisher path needs only smoothed marginals + filter predictions, all
+    from batched parallel passes.
+
+    Accuracy (innovations form, flat in lambda*dt down to 1e-3 — see
+    ops/fisher.py): f64 ~1e-9, f32 ~1e-5 rel vs autodiff.
+
+    Scope: model_fn must produce a scalar-emission FORWARD model with SPD
+    per-step process noise (Matern family and sums of Materns; models with
+    deterministic blocks — Cosine/Constant/ApproxPeriodic — are rejected by
+    ops/fisher's assertions; use the fwd-mode path there).
+
+    model_fn: flat params array -> LGSSM. Returns fn: params -> (value,
+    grad_array).
+    """
+    from .ops.fisher import logpdf_fisher
+
+    def vg(params):
+        flat = jnp.asarray(params)
+        return jax.value_and_grad(
+            lambda p: logpdf_fisher(model_fn(p), y, n_blocks, engine)
+        )(flat)
+
+    return vg
+
+
 def fit_lbfgs(objective, params, *, steps: int = 50):
     """L-BFGS with linesearch — the optax analogue of the reference's Optim
     BFGS + backtracking (exact_time_learning.jl:53-63)."""

@@ -106,3 +106,34 @@ def test_small_lamdt_conditioning_fixed(rng):
         g_a = jax.grad(lambda p: logpdf(build(p), y, engine="sequential"))(p0)
         rel = float(np.max(np.abs(g_f - g_a) / (np.abs(g_a) + 1e-12)))
         assert rel < tol, (lamdt, rel)
+
+
+def test_value_and_grad_fisher_k10(rng):
+    """learning.value_and_grad_fisher: k=10 hyperparameters, cost O(1) in k
+    (the VERDICT round-2 learning-story criterion), matches forward-mode
+    autodiff through the sequential engine."""
+    from temporalgps_tpu.gp import Matern12
+    from temporalgps_tpu.learning import value_and_grad_fisher, value_and_grad_fwd
+
+    N = 128
+    x = RegularSpacing(0.0, 0.25, N)
+    y = jnp.asarray(rng.standard_normal(N))
+
+    def model_fn(p):
+        kern = (
+            (jnp.exp(p[0]) * Matern52()).stretch(jnp.exp(p[1]))
+            + (jnp.exp(p[2]) * Matern32()).stretch(jnp.exp(p[3]))
+            + (jnp.exp(p[4]) * Matern12()).stretch(jnp.exp(p[5]))
+            + (jnp.exp(p[6]) * Matern52()).stretch(jnp.exp(p[7]))
+            + (jnp.exp(p[8]) * Matern32()).stretch(jnp.exp(p[9]))
+        )
+        fx = to_sde(GP(kern))(x, 0.3)
+        return api.build_lgssm(fx)
+
+    p0 = jnp.asarray([0.1, -0.2, 0.0, 0.4, -0.3, 0.2, 0.15, -0.1, 0.05, 0.3])
+    v_f, g_f = value_and_grad_fisher(model_fn, y)(p0)
+    v_a, g_a = value_and_grad_fwd(
+        lambda p: logpdf(model_fn(p), y, engine="sequential"))(p0)
+    np.testing.assert_allclose(float(v_f), float(v_a), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_a),
+                               rtol=1e-6, atol=1e-8)
