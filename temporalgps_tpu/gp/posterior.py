@@ -229,7 +229,19 @@ def marginals(fxp: FinitePosteriorLTISDE, *, engine=None):
     fp = fxp.f
     dtype = _storage_dtype(fp.prior.storage)
     if _same_inputs(fxp.x, fp.x):
-        model = build_lgssm(fp.prior(fp.x, fp.noise))
+        from .lti_sde import _route_kron
+
+        fx_tr = fp.prior(fp.x, fp.noise)
+        if _route_kron(fx_tr, engine):
+            from ..space_time import grids as _grids
+            from ..space_time import kron
+
+            noise_pr = _grids.noise_var_to_time_form(
+                fxp.x, _noise_array(fxp.noise, _flat_len(fxp.x))
+            )
+            m, v = kron.posterior_marginals(fx_tr, fp.y, noise_pred=noise_pr)
+            return _destructure(fxp.x, m), _destructure(fxp.x, v)
+        model = build_lgssm(fx_tr)
         post = missings_mod.posterior_with_missings(
             model, _to_time_form(fp.x, fp.y), engine=engine
         )

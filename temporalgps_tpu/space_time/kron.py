@@ -291,3 +291,158 @@ def logpdf(fx, y):
             (m0, P0, jnp.zeros((), dtype)),
         )
     return total + comp
+
+
+# ---------------------------------------------------------------------------
+# Posterior marginals (RTS smoother on the factored filter)
+# ---------------------------------------------------------------------------
+
+
+def _step_post(carry, sl, Kr):
+    """kron._step plus per-step emission of the filter/prediction moments
+    the RTS smoother needs (materialised (D, D) layout, space-major state
+    ordering s*Dt + a — matching to_gauss_markov's I_Ns (x) A_t)."""
+    m, P, acc = carry
+    _, (m_f, P_f, acc_new) = _step((m, P, acc), sl, Kr)
+    (A, a, Q, h, hoff), (yt, sd) = sl
+    Dt, Ns = m.shape
+    # the predicted moments of THIS step (recomputed cheaply: the predict
+    # half of _step; factored contractions, no (D, D) work)
+    m_p = jnp.stack(
+        [sum(A[i, c] * m[c] for c in range(Dt)) + a[i] for i in range(Dt)]
+    )
+    AP = [
+        [sum(A[i, c] * P[c, d] for c in range(Dt)) for d in range(Dt)]
+        for i in range(Dt)
+    ]
+    P_p = jnp.stack([
+        jnp.stack([
+            sum(AP[i][d] * A[j, d] for d in range(Dt)) + Q[i, j] * Kr
+            for j in range(Dt)
+        ])
+        for i in range(Dt)
+    ])
+    return (m_f, P_f, m_p, P_p), (m_f, P_f, acc_new)
+
+
+def _to_dense(P_fact):
+    """(Dt, Dt, Ns, Ns)[, leading batch] -> (Ns*Dt, Ns*Dt), space-major."""
+    # indices [.., a, b, s, t] -> [.., s*Dt + a, t*Dt + b]
+    ndim = P_fact.ndim
+    perm = list(range(ndim - 4)) + [ndim - 2, ndim - 4, ndim - 1, ndim - 3]
+    Pm = jnp.transpose(P_fact, perm)  # (..., Ns, Dt, Ns, Dt)
+    s = Pm.shape
+    return Pm.reshape(s[:-4] + (s[-4] * s[-3], s[-2] * s[-1]))
+
+
+def posterior_marginals(fx, y, *, noise_pred=None):
+    """Observation-space smoothed marginals (means, vars) in TIME form
+    (Nt, Ns) — the factored counterpart of
+    marginals_diag(posterior_with_missings(...)) on the materialised grid
+    model (reference semantics: src/models/lgssm.jl:193-240).
+
+    Hybrid schedule (docs/ROADMAP.md item 7): the forward filter runs fully
+    factored (the kron win: O(Ns^2 Dt^3) predict, (Ns, Ns) innovation
+    algebra), per-step filter/prediction moments are stacked, the smoother
+    gains come from ONE batched (Nt, D, D) Cholesky, and the backward
+    covariance recursion is two (D, D) MXU matmuls per step emitting only
+    the (Ns,) observation-space variance diagonal. A FULLY factored
+    smoother is blocked for a structural reason: P_pred = (I (x) A) P_f
+    (I (x) A)' + Kr (x) Q has no Kronecker (or low-rank-correction)
+    structure because P_f is general, so the gain solve inherently needs
+    full-state factorisations; batching them across time is the TPU-native
+    answer (one custom call, not Nt sequential ones).
+
+    Memory: stacks 2 x Nt x D^2 floats (e.g. 440 MB at Ns=247, Nt=100,
+    f32). noise_pred: optional (Nt, Ns) observation-noise variances used
+    for the reported marginals (prediction noise) in place of the training
+    noise; NaNs in y mark missing observations (large-variance fill).
+    """
+    from ..config import POSTERIOR_JITTER
+
+    (As_t, offs_t, Qs_t, Hs_t, hs_t), Kr, x0_t, noise_tf, dtype = _factors(fx)
+    x = fx.x
+    Ns = Kr.shape[0]
+    Dt = x0_t.mean.shape[-1]
+    D = Ns * Dt
+    Nt = grids.n_time(x)
+
+    y_tf = grids.observations_to_time_form(x, jnp.asarray(y, dtype))
+    sd, y_f, _ = fill_in_missings(noise_tf, y_tf)
+
+    m0 = jnp.broadcast_to(x0_t.mean[:, None], (Dt, Ns)).astype(dtype)
+    P0 = (
+        psd.symmetrize(x0_t.cov)[:, :, None, None] * Kr[None, None, :, :]
+    ).astype(dtype)
+
+    params = ((As_t, offs_t, Qs_t, Hs_t, hs_t), (y_f, sd))
+    with precision_ctx(D):
+        (m_fs, P_fs, m_ps, P_ps), _ = scan_emit(
+            lambda c, s: _step_post(c, s, Kr),
+            params,
+            (m0, P0, jnp.zeros((), dtype)),
+        )
+
+        # materialise (space-major) and build the gains in one batched pass:
+        # J_t = P_f[t] A' P_pred[t+1]^{-1}, t = 0..Nt-2
+        from ..utils.fill import tmaterialize
+
+        A_all = tmaterialize(As_t)                    # (Nt, Dt, Dt)
+        P_f_d = _to_dense(P_fs)                       # (Nt, D, D)
+        P_p_d = _to_dense(P_ps)
+        m_f_d = jnp.reshape(jnp.swapaxes(m_fs, -2, -1), (Nt, D))
+        m_p_d = jnp.reshape(jnp.swapaxes(m_ps, -2, -1), (Nt, D))
+
+        # (P_f A')[s*Dt+a, t*Dt+b] = sum_d P_f[a,d,s,t] A[b,d] (factored)
+        PfA = _to_dense(
+            jnp.einsum("nadst,nbd->nabst", P_fs[:-1], A_all[1:])
+        )                                             # (Nt-1, D, D)
+        Lp = psd.cholesky(
+            psd.add_jitter(psd.symmetrize(P_p_d[1:]), POSTERIOR_JITTER)
+        )
+        J = jnp.swapaxes(
+            psd.chol_solve(Lp, jnp.swapaxes(PfA, -1, -2)), -1, -2
+        )                                             # (Nt-1, D, D)
+
+        # emission projection operators, time form
+        H_all = tmaterialize(Hs_t)                    # (Nt, Dt)
+        hoff_all = tmaterialize(hs_t)                 # (Nt,)
+        # default matches marginals_diag(posterior_with_missings(...)): the
+        # reported noise is the FILLED per-step variance (large at missing
+        # points); noise_pred overrides with prediction noise (the
+        # replace_observation_noise_cov semantics of gp/posterior).
+        sd_rep = sd if noise_pred is None else jnp.asarray(noise_pred, dtype)
+
+        def proj(m_d, P_d, h, hoff, sdt):
+            # m_d (D,), P_d (D, D) space-major; h (Dt,). var[s] is the
+            # h-projection of the s-th diagonal (Dt, Dt) block.
+            mv = m_d.reshape(Ns, Dt) @ h + hoff       # (Ns,)
+            Pb = P_d.reshape(Ns, Dt, Ns, Dt)
+            diag_blocks = Pb[jnp.arange(Ns), :, jnp.arange(Ns), :]  # (Ns,Dt,Dt)
+            var = jnp.einsum("a,sab,b->s", h, diag_blocks, h)
+            return mv, var + sdt
+
+        # backward smoother: carry (m_s (D,), P_s (D, D))
+        def back(carry, sl):
+            m_s, P_s = carry
+            J_t, m_f_t, P_f_t, m_p_n, P_p_n, h, hoff, sdt = sl
+            m_new = m_f_t + J_t @ (m_s - m_p_n)
+            P_new = psd.symmetrize(
+                P_f_t + J_t @ (P_s - P_p_n) @ J_t.T
+            )
+            mv, var = proj(m_new, P_new, h, hoff, sdt)
+            return (m_new, P_new), (mv, var)
+
+        m_last, P_last = m_f_d[-1], P_f_d[-1]
+        mv_l, var_l = proj(m_last, P_last, H_all[-1], hoff_all[-1],
+                           sd_rep[-1])
+        sls = (
+            jnp.flip(J, 0), jnp.flip(m_f_d[:-1], 0), jnp.flip(P_f_d[:-1], 0),
+            jnp.flip(m_p_d[1:], 0), jnp.flip(P_p_d[1:], 0),
+            jnp.flip(H_all[:-1], 0), jnp.flip(hoff_all[:-1], 0),
+            jnp.flip(sd_rep[:-1], 0),
+        )
+        _, (mv_r, var_r) = jax.lax.scan(back, (m_last, P_last), sls)
+        mus = jnp.concatenate([jnp.flip(mv_r, 0), mv_l[None]], axis=0)
+        vars_ = jnp.concatenate([jnp.flip(var_r, 0), var_l[None]], axis=0)
+    return mus, vars_

@@ -394,3 +394,45 @@ def test_kron_rand_moments(rng):
     v_emp = np.var(np.asarray(ys), axis=0)
     np.testing.assert_allclose(m_emp, np.asarray(m_th), atol=5 * np.sqrt(np.max(v_th) / 4000) + 1e-3)
     np.testing.assert_allclose(v_emp, np.asarray(v_th), rtol=0.15)
+
+
+def test_kron_posterior_marginals_match_sequential(rng):
+    """Factored-filter RTS smoother (kron.posterior_marginals + the
+    gp/posterior engine='kron' dispatch) == materialised sequential
+    smoother: means/vars, missing data, prediction noise != training
+    noise, irregular times + ConstMean."""
+    from temporalgps_tpu.gp import posterior as gpp
+    from temporalgps_tpu.gp.means import ConstMean
+
+    ns, nt = 7, 23
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, nt))
+    k = Separable(EQ(), Matern52())
+    fx = to_sde(GP(k))(x, 0.3)
+    y = rng.standard_normal(ns * nt)
+    y[[2, 40]] = np.nan
+    y = jnp.asarray(y)
+
+    post = gpp.posterior(fx, y)
+    fxp = post(x, 0.07)
+    m_ref, v_ref = gpp.marginals(fxp, engine="sequential")
+    m_k, v_k = gpp.marginals(fxp, engine="kron")
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_ref),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=1e-7, atol=1e-8)
+
+    # irregular times, ConstMean, heteroscedastic training noise
+    x_irr = RectilinearGrid(r, jnp.asarray(np.sort(rng.uniform(0, 3, nt))))
+    fx2 = to_sde(GP(k, mean=ConstMean(0.7)))(
+        x_irr, jnp.asarray(0.1 + rng.random(ns * nt) * 0.2)
+    )
+    y2 = jnp.asarray(rng.standard_normal(ns * nt))
+    post2 = gpp.posterior(fx2, y2)
+    fxp2 = post2(x_irr, 0.05)
+    m2_ref, v2_ref = gpp.marginals(fxp2, engine="sequential")
+    m2_k, v2_k = gpp.marginals(fxp2, engine="kron")
+    np.testing.assert_allclose(np.asarray(m2_k), np.asarray(m2_ref),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v2_k), np.asarray(v2_ref),
+                               rtol=1e-7, atol=1e-8)
