@@ -51,7 +51,7 @@ def main():
         "log_inv_len_time": positive(1.0),
         "log_var_noise": positive(0.5),
     }
-    result = fit(objective, init, steps=scaled(75, 10))
+    result = fit(objective, init, steps=scaled(75, 6))
     print("learned:", {k: float(np.exp(v)) for k, v in result.params.items()})
 
     f_final = build_gp(result.params)

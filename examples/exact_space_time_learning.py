@@ -46,7 +46,7 @@ def main():
         return -logpdf(f(x, jnp.exp(params["log_var_noise"])), y) / (Ns * Nt)
 
     init = jax.tree_util.tree_map(lambda v: v + 0.2, true_params)
-    result = fit(objective, init, steps=scaled(100, 15))
+    result = fit(objective, init, steps=scaled(100, 8))
     print("learned:", {k: float(np.exp(v)) for k, v in result.params.items()})
     assert np.isfinite(float(result.losses[-1]))
     print("ok")

@@ -49,7 +49,7 @@ def main():
     init = jax.tree_util.tree_map(
         lambda v: v + 0.3 * jax.random.normal(jax.random.PRNGKey(1), ()), true_params
     )
-    result = fit(objective, init, steps=scaled(150, 25))
+    result = fit(objective, init, steps=scaled(150, 10))
     print("loss trajectory:", np.asarray(result.losses)[:: max(1, len(result.losses) // 8)])
     learned = {k: float(v) for k, v in result.params.items()}
     print("learned:", learned)

@@ -21,6 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite is compile-dominated (single-core
+# box, many big unrolled graphs traced once per test); warm-cache reruns of
+# the slowest tests are ~2-10x faster. Safe: keys include the HLO + config.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tgps_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

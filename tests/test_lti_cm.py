@@ -24,7 +24,7 @@ def _model(dt, N, kernel=None, dt_step=0.05, noise=0.2):
     k = kernel if kernel is not None else (
         Matern52().stretch(0.8) * 2.0
         + Matern12().stretch(4.0) * 0.5
-        + ApproxPeriodic(0.9, n_cos=3).stretch(1.2) * 1.0
+        + ApproxPeriodic(0.9, n_cos=2).stretch(1.2) * 1.0
     )
     x = RegularSpacing(jnp.asarray(0.0, dt), jnp.asarray(dt_step, dt), N)
     fx = to_sde(GP(k), ArrayStorage(dt))(x, jnp.asarray(noise, dt))
@@ -124,8 +124,8 @@ def test_cm_ad_rules(rng):
 
 
 def test_logpdf_matches_sequential_f64(rng):
-    m = _model(jnp.float64, 1000)
-    y = jnp.asarray(rng.standard_normal(1000), jnp.float64)
+    m = _model(jnp.float64, 512)
+    y = jnp.asarray(rng.standard_normal(512), jnp.float64)
     lp_seq = float(lg.logpdf(m, y, engine="sequential"))
     lp_row = float(lti._lml_from_filter(lti._filter_pass(m, y)))
     lp_cm = float(lti_cm.logpdf(m, y))
@@ -135,8 +135,8 @@ def test_logpdf_matches_sequential_f64(rng):
 
 
 def test_logpdf_matches_sequential_f32(rng):
-    m = _model(jnp.float32, 4096)
-    y = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    m = _model(jnp.float32, 2048)
+    y = jnp.asarray(rng.standard_normal(2048), jnp.float32)
     lp_seq = float(lg.logpdf(m, y, engine="sequential"))
     lp_cm = float(lti_cm.logpdf(m, y))
     np.testing.assert_allclose(lp_cm, lp_seq, rtol=3e-4)
@@ -153,10 +153,10 @@ def test_logpdf_odd_shapes(rng):
 
 def test_grad_matches_sequential_f64(rng):
     dt = jnp.float64
-    y = jnp.asarray(rng.standard_normal(512), dt)
+    y = jnp.asarray(rng.standard_normal(256), dt)
 
     def build(ls):
-        x = RegularSpacing(jnp.asarray(0.0, dt), jnp.asarray(0.05, dt), 512)
+        x = RegularSpacing(jnp.asarray(0.0, dt), jnp.asarray(0.05, dt), 256)
         fx = to_sde(GP(Matern52().stretch(jnp.exp(ls)) * 1.3),
                     ArrayStorage(dt))(x, jnp.asarray(0.2, dt))
         return api.build_lgssm(fx)
@@ -191,8 +191,8 @@ def test_affine_prefix_cm(rng):
 def test_public_dispatch_override(rng):
     """lti.CM_LAYOUT=True must route engine='lti' through the cm path on
     CPU too (same value)."""
-    m = _model(jnp.float64, 256, kernel=Matern32())
-    y = jnp.asarray(rng.standard_normal(256), jnp.float64)
+    m = _model(jnp.float64, 128, kernel=Matern32())
+    y = jnp.asarray(rng.standard_normal(128), jnp.float64)
     lp_row = float(lg.logpdf(m, y, engine="lti"))
     old = lti.CM_LAYOUT
     try:

@@ -84,7 +84,7 @@ def test_lti_grad_matches_sequential(rng):
     from temporalgps_tpu.space_time import RectilinearGrid, Separable, elbo
 
     dtype = jnp.float64
-    M, Ns, Nt = 4, 7, 20
+    M, Ns, Nt = 3, 5, 20
     r = jnp.asarray(np.linspace(-3, 3, Ns), dtype)
     z = jnp.asarray(np.linspace(-3, 3, M), dtype)
     x = RectilinearGrid(

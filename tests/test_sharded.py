@@ -13,7 +13,7 @@ from temporalgps_tpu.gp.lti_sde import build_lgssm
 from temporalgps_tpu.models import logpdf
 from temporalgps_tpu.parallel import sharded_logpdf
 
-N = 512
+N = 256
 
 
 def _model_and_y(rng, N=N, irregular=False):
@@ -289,9 +289,9 @@ def test_sharded_steady_logpdf_matches_single(rng):
     for mean in (None, 1.5):
         model, y = _steady_model(rng, mean=mean)
         lp_sh = float(jax.jit(
-            lambda y_: sharded_steady_logpdf(model, y_, mesh, n_warmup=48)
+            lambda y_: sharded_steady_logpdf(model, y_, mesh, n_warmup=24)
         )(y))
-        lp_st = float(steady.logpdf(model, y, n_warmup=48))
+        lp_st = float(steady.logpdf(model, y, n_warmup=24))
         lp_seq = float(logpdf(model, y, engine="sequential"))
         np.testing.assert_allclose(lp_sh, lp_st, rtol=1e-11)
         np.testing.assert_allclose(lp_sh, lp_seq, rtol=1e-11)
@@ -305,7 +305,7 @@ def test_sharded_steady_logpdf_vector_emissions(rng):
     from temporalgps_tpu.parallel import sharded_steady_logpdf
     from temporalgps_tpu.space_time import RectilinearGrid, Separable
 
-    ns, nt = 8, 512
+    ns, nt = 6, 256
     r = jnp.asarray(np.linspace(-2, 2, ns))
     x = RectilinearGrid(r, RegularSpacing(0.0, 0.25, nt))
     fx = to_sde(GP(Separable(EQ(), Matern52()), mean=ConstMean(0.7)))(x, 0.25)
@@ -313,7 +313,7 @@ def test_sharded_steady_logpdf_vector_emissions(rng):
     y_tf = jnp.asarray(rng.standard_normal((nt, ns)) + 0.7)
     mesh = Mesh(np.array(jax.devices()), ("t",))
     lp_sh = float(jax.jit(
-        lambda y_: sharded_steady_logpdf(model, y_, mesh, n_warmup=32)
+        lambda y_: sharded_steady_logpdf(model, y_, mesh, n_warmup=16)
     )(y_tf))
     lp_seq = float(logpdf(model, y_tf, engine="sequential"))
     np.testing.assert_allclose(lp_sh, lp_seq, rtol=1e-10)
@@ -332,7 +332,7 @@ def test_sharded_steady_logpdf_grad(rng):
         fx = to_sde(GP(jnp.exp(p[0]) * Matern52()))(x, jnp.exp(p[1]))
         model = build_lgssm(fx)
         if engine == "sharded":
-            return -sharded_steady_logpdf(model, y, mesh, n_warmup=48)
+            return -sharded_steady_logpdf(model, y, mesh, n_warmup=24)
         return -logpdf(model, y, engine=engine)
 
     p0 = jnp.asarray([0.1, -1.0])

@@ -41,7 +41,7 @@ def test_affine_const_states_vs_loop(rng):
                                atol=1e-12)
 
 
-def _scalar_model(N=700, dt=0.1):
+def _scalar_model(N=448, dt=0.1):
     x = RegularSpacing(0.0, dt, N)
     fx = to_sde(GP(Matern52()))(x, 0.1)
     return build_lgssm(fx), x
@@ -102,7 +102,7 @@ def test_dtc_elbo_and_grad_vs_sequential(rng):
         grids,
     )
 
-    Ns, Nt, M = 7, 448, 4
+    Ns, Nt, M = 5, 320, 3
     r = jnp.asarray(np.linspace(-3, 3, Ns))
     x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
     k = Separable(EQ().stretch(0.7), Matern52())
@@ -148,7 +148,7 @@ def test_posterior_marginals_diag_vs_exact(rng):
     from temporalgps_tpu.models.lgssm import LGSSM
     from temporalgps_tpu.ops import steady
 
-    model, _ = _scalar_model(N=700)
+    model, _ = _scalar_model()
     y = jnp.asarray(rng.standard_normal(len(model)))
     post = lg.posterior(model, y, engine="sequential")
     m_ref, v_ref = lg.marginals_diag(LGSSM(post.trans, model.emis),
@@ -181,7 +181,7 @@ def test_dtc_approx_posterior_marginals_steady(rng):
         approx_posterior_marginals,
     )
 
-    Ns, Nt, M = 5, 448, 4
+    Ns, Nt, M = 5, 320, 3
     r = jnp.asarray(np.linspace(-3, 3, Ns))
     x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
     k = Separable(EQ().stretch(0.7), Matern52())
@@ -208,7 +208,7 @@ def test_f32_grad_accuracy_vs_f64_truth(rng):
     warmup's constant-element power chain loses accuracy ~linearly in the
     warmup length, 2.5e-2 rel at k=512 (fixed: _filter_pass(cov_hi=True)).
     """
-    N = 2048
+    N = 1024
     yv = rng.standard_normal(N)
 
     def mk(dtype):
@@ -244,8 +244,8 @@ def test_n_warmup_threads_through_drivers(rng):
         elbo,
     )
 
-    model, x = _scalar_model(N=700)
-    y = rng.standard_normal(700)
+    model, x = _scalar_model()
+    y = rng.standard_normal(448)
     lp_small = float(lg.logpdf(model, y, engine="steady", n_warmup=96))
     lp_default = float(lg.logpdf(model, y, engine="steady"))
     np.testing.assert_allclose(lp_small, lp_default, rtol=1e-10)
@@ -255,7 +255,7 @@ def test_n_warmup_threads_through_drivers(rng):
     # lambda*dt ~ 0.22 here -> converged well under the 512 default
     assert k < 512
 
-    Ns, Nt, M = 5, 448, 4
+    Ns, Nt, M = 5, 320, 3
     r = jnp.asarray(np.linspace(-3, 3, Ns))
     xg = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
     k_sep = Separable(EQ().stretch(0.7), Matern52())
@@ -302,10 +302,10 @@ def test_nonzero_mean_logpdf_vs_sequential(rng):
     was off by thousands of nats.  Advisor finding r2 #1."""
     from temporalgps_tpu.gp import ConstMean
 
-    x = RegularSpacing(0.0, 0.1, 700)
+    x = RegularSpacing(0.0, 0.1, 448)
     fx = to_sde(GP(Matern52(), mean=ConstMean(1.5)))(x, 0.1)
     model = build_lgssm(fx)
-    y = rng.standard_normal(700) + 1.5
+    y = rng.standard_normal(448) + 1.5
     lp_seq = float(lg.logpdf(model, y, engine="sequential"))
     lp_st = float(lg.logpdf(model, y, engine="steady"))
     np.testing.assert_allclose(lp_st, lp_seq, rtol=1e-12)
@@ -324,7 +324,7 @@ def test_nonzero_mean_logpdf_vs_sequential(rng):
     # vector-emission branch (h_eff path) with a nonzero mean
     from temporalgps_tpu.space_time import RectilinearGrid, Separable
 
-    Ns, Nt = 5, 400
+    Ns, Nt = 5, 256
     xg = RectilinearGrid(jnp.asarray(np.linspace(-2, 2, Ns)),
                          RegularSpacing(0.0, 0.05, Nt))
     fx2 = to_sde(GP(Separable(EQ(), Matern52()), mean=ConstMean(0.7)))(
@@ -340,7 +340,7 @@ def test_rand_exact_vs_sequential(rng):
     """rand_with_eps via the constant-matrix affine solve draws IDENTICAL
     samples to the sequential engine for the same key (exact, not a steady
     approximation)."""
-    model, _ = _scalar_model(N=500)
+    model, _ = _scalar_model(N=320)
     key = jax.random.PRNGKey(7)
     y_seq = lg.rand(key, model, engine="sequential")
     y_st = lg.rand(key, model, engine="steady")
@@ -350,7 +350,7 @@ def test_rand_exact_vs_sequential(rng):
     # vector-emission (spatio-temporal grid) path
     from temporalgps_tpu.space_time import RectilinearGrid, Separable
 
-    Ns, Nt = 6, 300
+    Ns, Nt = 6, 192
     xg = RectilinearGrid(jnp.asarray(np.linspace(-2, 2, Ns)),
                          RegularSpacing(0.0, 0.05, Nt))
     fx = to_sde(GP(Separable(EQ(), Matern52())))(xg, 0.25)
