@@ -114,6 +114,113 @@ def _chol_mid_jvp(primals, tangents):
 # sequential engine regressed 1.9 s -> 9.4 s when they ran per-step).
 _UNROLL_MIN_BATCH = 256
 
+
+# ---------------------------------------------------------------------------
+# Compact (lax.scan) mid-D factorisations for latency-mode call sites.
+#
+# The Python-unrolled mid-D paths emit O(D) primitives per call; the steady/
+# lti constant-operator chains contain ~20-25 combines x ~5 solves each, and
+# under value_and_grad the resulting graph measured 54k+ HLO ops at the DTC
+# test shape — 227 s XLA-CPU compiles, and big enough to OOM-kill the remote
+# TPU compile helper at the c5 bench shape. These scan forms emit O(1)
+# primitives per call (one tiny loop body) at the cost of a D-iteration
+# sequential loop at runtime — irrelevant for the thin constant chains they
+# serve, which are latency-bound, not throughput-bound. Custom JVPs keep the
+# same compact structure; AD never differentiates through the loop bodies.
+# ---------------------------------------------------------------------------
+
+
+def _chol_scan_impl(P, D: int):
+    """Column Cholesky with rank-1 downdates as a lax.scan over columns."""
+    ar = jnp.arange(D)
+
+    def step(R, j):
+        d = jnp.sqrt(jnp.maximum(jnp.sum(
+            jnp.where(ar == j, jnp.diagonal(R, axis1=-2, axis2=-1), 0.0),
+            axis=-1), 0.0))
+        inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        colfull = jnp.sum(jnp.where(ar == j, R, 0.0), axis=-1)  # R[..., :, j]
+        col = jnp.where(ar > j, colfull * inv[..., None], 0.0)
+        col = jnp.where(ar == j, d[..., None], col)
+        R = R - col[..., :, None] * col[..., None, :]
+        return R, col
+
+    _, cols = jax.lax.scan(step, P, jnp.arange(D))
+    # cols: (D_cols, ..., D) -> (..., D, D_cols)
+    return jnp.moveaxis(cols, 0, -1)
+
+
+@jax.custom_jvp
+def _chol_compact(P):
+    return _chol_scan_impl(P, P.shape[-1])
+
+
+@_chol_compact.defjvp
+def _chol_compact_jvp(primals, tangents):
+    (P,) = primals
+    (dP,) = tangents
+    L = _chol_scan_impl(P, P.shape[-1])
+    dPs = 0.5 * (dP + jnp.swapaxes(dP, -1, -2))
+    X = _tri_solve_compact(
+        L, jnp.swapaxes(_tri_solve_compact(L, dPs, True, False), -1, -2),
+        True, False,
+    )
+    Phi = jnp.tril(X, -1) + 0.5 * jnp.tril(jnp.triu(X))
+    return L, L @ Phi
+
+
+def _tri_solve_scan_impl(L, B, D: int, lower: bool, trans: bool):
+    """Substitution as a lax.scan over rows (O(1) traced primitives)."""
+    batch = jnp.broadcast_shapes(L.shape[:-2], B.shape[:-2])
+    L = jnp.broadcast_to(L, batch + L.shape[-2:])
+    B = jnp.broadcast_to(B, batch + B.shape[-2:])
+    forward = lower != trans
+    idxs = jnp.arange(D) if forward else jnp.arange(D - 1, -1, -1)
+    ar = jnp.arange(D)
+
+    def step(X, i):
+        # op(L)[i, :]: row i of L, or column i when transposed
+        row = jnp.sum(
+            jnp.where((ar == i)[:, None] if not trans else (ar == i)[None, :],
+                      L, 0.0),
+            axis=-2 if not trans else -1,
+        )                                               # (..., D)
+        mask = (ar < i) if forward else (ar > i)
+        row_m = jnp.where(mask, row, 0.0)
+        b_i = jnp.sum(jnp.where((ar == i)[:, None], B, 0.0), axis=-2)
+        s = b_i - jnp.einsum("...k,...kj->...j", row_m, X)
+        diag = jnp.sum(jnp.where(ar == i, row, 0.0), axis=-1)
+        x_i = s / diag[..., None]
+        X = X + x_i[..., None, :] * (ar == i)[..., :, None]
+        return X, None
+
+    X, _ = jax.lax.scan(step, jnp.zeros_like(B), idxs)
+    return X
+
+
+def _tri_solve_compact(L, B, lower, trans):
+    """Compact triangular solve via lax.custom_linear_solve: the scan impl
+    is opaque to AD, while JVP/transpose rules come from the linear-solve
+    structure (dX = op(L)^{-1}(dB - op(dL) X); cotangents route through the
+    transposed solve) — both stay O(1) traced primitives."""
+    D = L.shape[-1]
+    batch = jnp.broadcast_shapes(L.shape[:-2], B.shape[:-2])
+    L = jnp.broadcast_to(L, batch + L.shape[-2:])
+    B = jnp.broadcast_to(B, batch + B.shape[-2:])
+    base = jnp.tril(L) if lower else jnp.triu(L)
+
+    def mv(x):
+        op = jnp.swapaxes(base, -1, -2) if trans else base
+        return op @ x
+
+    def solve(_mv, b):
+        return _tri_solve_scan_impl(base, b, D, lower, trans)
+
+    def t_solve(_mv, b):
+        return _tri_solve_scan_impl(base, b, D, lower, not trans)
+
+    return jax.lax.custom_linear_solve(mv, B, solve, t_solve)
+
 # Trace-time escape hatch for LATENCY-bound call sites: unbatched/thin
 # constant-operator chains (the steady engine's warmup power chain and
 # fixed-point squarings) pay ~0.5-1 ms of XLA-TPU custom-call latency per
@@ -156,10 +263,14 @@ def cholesky(P):
     D = P.shape[-1]
     if D <= 4:
         return _chol_unrolled(P, D)
-    if D <= _UNROLL_MAX_D and (
-        _FORCE_UNROLL or _batch_elems(P.shape) >= _UNROLL_MIN_BATCH
-    ):
-        return _chol_mid(P)
+    if D <= _UNROLL_MAX_D:
+        fat = _batch_elems(P.shape) >= _UNROLL_MIN_BATCH
+        if fat:
+            return _chol_mid(P)
+        if _FORCE_UNROLL:
+            # thin latency-mode call: compact scan form — same custom-call-
+            # free runtime, O(1) traced primitives (see block comment above)
+            return _chol_compact(P)
     return jnp.linalg.cholesky(P)
 
 
@@ -250,10 +361,12 @@ def tri_solve(L, B, *, lower=True, trans=False):
     D = L.shape[-1]
     if D <= 4:
         return _tri_solve_unrolled(L, B, D, lower, trans)
-    if D <= _UNROLL_MAX_D and (
-        _FORCE_UNROLL or _batch_elems(L.shape, B.shape) >= _UNROLL_MIN_BATCH
-    ):
-        return _tri_solve_mid(L, B, lower, trans)
+    if D <= _UNROLL_MAX_D:
+        fat = _batch_elems(L.shape, B.shape) >= _UNROLL_MIN_BATCH
+        if fat:
+            return _tri_solve_mid(L, B, lower, trans)
+        if _FORCE_UNROLL:
+            return _tri_solve_compact(L, B, lower, trans)
     # jax.scipy.solve_triangular does not numpy-broadcast mismatched batch
     # dims (e.g. block-batched L (B,D,D) vs time-invariant Fill rhs (D,K));
     # broadcast explicitly.

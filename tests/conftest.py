@@ -23,8 +23,24 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compile cache: the suite is compile-dominated (single-core
 # box, many big unrolled graphs traced once per test); warm-cache reruns of
-# the slowest tests are ~2-10x faster. Safe: keys include the HLO + config.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tgps_test_cache")
+# the slowest tests are ~2-10x faster. CAUTION: XLA:CPU AOT cache entries
+# embed the *compile host's* machine features but the cache key does NOT —
+# the build VM migrates across heterogeneous hosts between sessions, and a
+# stale entry loads fine yet computes WRONG NUMBERS (observed: chol JVP
+# tangents 2x off after a host swap, with cpu_aot_loader SIGILL warnings on
+# stderr). Fingerprint the cache dir by the host's CPU flags so each
+# machine type gets its own cache.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((l for l in _f if l.startswith("flags")), "")
+    _cpu_tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+except OSError:
+    _cpu_tag = "unknown"
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/tgps_test_cache_{_cpu_tag}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
