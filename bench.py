@@ -26,7 +26,9 @@ TGPS_BENCH_SMOKE=1 shrinks every workload for a fast CPU logic check.
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 import traceback
 
@@ -36,10 +38,16 @@ import jax
 
 if os.environ.get("TGPS_BENCH_CPU", "") == "1":
     # smoke-test logic on CPU (the env var alone is overridden by the axon
-    # TPU plugin; jax.config wins — see tests/conftest.py)
+    # TPU plugin; jax.config wins — see tests/conftest.py). CPU runs must
+    # NOT share the TPU cache dir: XLA:CPU AOT entries poison across host
+    # swaps (see config.host_cpu_cache_tag); TPU executables are immune.
     jax.config.update("jax_platforms", "cpu")
+    from temporalgps_tpu.config import host_cpu_cache_tag
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/tgps_jax_cache")
+    _cache = f"/tmp/tgps_bench_cpu_cache_{host_cpu_cache_tag()}"
+else:
+    _cache = "/tmp/tgps_jax_cache"
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
@@ -51,6 +59,87 @@ SMOKE = os.environ.get("TGPS_BENCH_SMOKE", "") == "1"
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# deadline safety (round-3 post-mortem: the driver's `timeout` killed the
+# process AFTER every config had printed its numbers to stderr but BEFORE
+# the single stdout JSON line — twice in a row). Three layers:
+#   1. an internal wall-clock budget checked between configs (skip the rest
+#      with {"skipped": "budget"} instead of dying mid-compile),
+#   2. a watchdog THREAD that dumps the JSON and exits at the hard deadline
+#      — a thread, not a signal handler, because the main thread spends
+#      minutes blocked inside remote-compile RPCs where Python signal
+#      handlers cannot run,
+#   3. SIGTERM/SIGINT handlers for the cases where the main thread IS in
+#      bytecode when the driver's timeout fires.
+# ---------------------------------------------------------------------------
+
+BUDGET_S = float(os.environ.get("TGPS_BENCH_BUDGET_S", "1500"))  # soft, 25 min
+HARD_DEADLINE_S = float(os.environ.get("TGPS_BENCH_HARD_S", str(BUDGET_S + 420)))
+_T0 = time.time()
+_CONFIGS = {}  # mutated in place by main(); read by the emergency dump
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _elapsed():
+    return time.time() - _T0
+
+
+def _budget_left():
+    return BUDGET_S - _elapsed()
+
+
+def _emit(configs):
+    """Print the one stdout JSON line, exactly once (thread-safe)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    head = configs.get("c2_matern52_n1m_learning", {}) or {}
+    print(
+        json.dumps(
+            {
+                "metric": "matern52_logpdf_grad_timesteps_per_sec_N1e6_f32",
+                "value": head.get("value"),
+                "unit": "timesteps/s",
+                "vs_baseline": head.get("vs_baseline"),
+                "elapsed_s": round(_elapsed(), 1),
+                "configs": configs,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _emergency_dump(reason):
+    log(f"bench: emergency dump ({reason}) at t={_elapsed():.0f}s")
+    for name in list(_CONFIGS):
+        if _CONFIGS[name] is None:
+            _CONFIGS[name] = {"skipped": reason}
+    _emit(_CONFIGS)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+def _watchdog():
+    while True:
+        left = HARD_DEADLINE_S - _elapsed()
+        if left <= 0:
+            _emergency_dump("hard deadline")
+        time.sleep(min(max(left, 1.0), 30.0))
+
+
+def _install_deadline_guards():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, lambda *_: _emergency_dump("signal"))
+        except (ValueError, OSError):
+            pass
 
 
 _RT_FLOOR = None  # host round-trip floor, measured once
@@ -101,8 +190,9 @@ def _fetch(out):
 # ---------------------------------------------------------------------------
 
 
-def config1():
+def config1(partial=None):
     """Matern-3/2 N=10k static path: rand / logpdf / posterior marginals."""
+    partial = {} if partial is None else partial
     from temporalgps_tpu import RegularSpacing
     from temporalgps_tpu.gp import GP, ArrayStorage, Matern32, to_sde
     from temporalgps_tpu.gp import lti_sde as api
@@ -118,8 +208,10 @@ def config1():
     iters = 5 if SMOKE else 50
     f_rand = jax.jit(lambda k: api.rand(k, fx))
     dt_rand, _, _ = timed(f_rand, jax.random.PRNGKey(0), iters=iters)
+    partial["rand_ms"] = round(dt_rand * 1e3, 3)
     f_lp = jax.jit(lambda y_: api.logpdf(fx, y_))
     dt_lp, _, _ = timed(f_lp, y, iters=iters)
+    partial["logpdf_ms"] = round(dt_lp * 1e3, 3)
     f_pm = jax.jit(lambda y_: post_marginals(posterior(fx, y_)(x, jnp.asarray(0.1, dtype))))
     dt_pm, _, _ = timed(f_pm, y, iters=iters)
 
@@ -143,9 +235,10 @@ def config1():
     }
 
 
-def config2():
+def config2(partial=None):
     """Headline: logpdf + full hyperparameter gradient, Matern-5/2 N=1M —
     fused forward-mode Pallas pipeline (ops/block.logpdf_fwd_grad)."""
+    partial = {} if partial is None else partial
     from temporalgps_tpu import RegularSpacing
     from temporalgps_tpu.gp import GP, ArrayStorage, Matern52, to_sde
     from temporalgps_tpu.gp.lti_sde import build_lgssm
@@ -193,6 +286,8 @@ def config2():
         )
     dt_block, cs, _ = timed(grad_block, p0, y, iters=5 if SMOKE else 50)
     steps_per_sec = N / dt_block
+    partial["lp_grad_ms"] = round(dt_block * 1e3, 3)
+    partial["lp_grad_msteps_per_s"] = round(steps_per_sec / 1e6, 1)
     log(f"c2 lp+grad(fwd) N={N}: {dt_block*1e3:.2f} ms ({steps_per_sec/1e6:.2f} Msteps/s), compile {cs:.0f}s")
 
     # Forward-only throughput.
@@ -201,6 +296,7 @@ def config2():
         y_, engine="block",
     ))
     dt_f, _, _ = timed(lp_fast, y, iters=10 if SMOKE else 100)
+    partial["logpdf_ms"] = round(dt_f * 1e3, 3)
     log(f"c2 logpdf N={N}: {dt_f*1e3:.2f} ms ({N/dt_f/1e6:.1f} Msteps/s)")
 
     # Baseline stand-in: sequential engine per-step rate at N=20k.
@@ -243,10 +339,11 @@ def config2():
     }
 
 
-def config3():
+def config3(partial=None):
     """Sum kernel at state-dim 19 (Matern52 + Matern32 + ApproxPeriodic),
     N=1M f32. The deterministic cosine blocks make this the conditioning
     stress case; sequential is the safe default engine there."""
+    partial = {} if partial is None else partial
     from temporalgps_tpu import RegularSpacing
     from temporalgps_tpu.gp import (
         GP,
@@ -275,6 +372,7 @@ def config3():
             dt, cs, _ = timed(f, y, iters=iters)
             vals[engine] = float(f(y))
             results[engine] = dt
+            partial[f"{engine}_ms"] = round(dt * 1e3, 2)
             log(
                 f"c3 D={model.latent_dim} N={N} logpdf[{engine}]: {dt*1e3:.2f} ms "
                 f"({N/dt/1e6:.1f} Msteps/s) compile {cs:.0f}s val={vals[engine]:.1f}"
@@ -307,9 +405,10 @@ def config3():
     }
 
 
-def config4():
+def config4(partial=None):
     """Exact spatio-temporal: Separable(EQ, Matern52) on a 50-space x
     1000-time grid (reference: examples/exact_space_time_inference.jl)."""
+    partial = {} if partial is None else partial
     from temporalgps_tpu import RegularSpacing
     from temporalgps_tpu.gp import EQ, GP, ArrayStorage, Matern52, to_sde
     from temporalgps_tpu.gp import lti_sde as api
@@ -332,10 +431,11 @@ def config4():
         f"c4 exact {Ns}x{Nt} (D={model.latent_dim}) logpdf[sequential]: "
         f"{dt_seq*1e3:.2f} ms ({Ns*Nt/dt_seq/1e6:.2f} Mobs/s) compile {cs:.0f}s"
     )
-    detail = {
-        "sequential_ms": round(dt_seq * 1e3, 2),
-        "state_dim": int(model.latent_dim),
-    }
+    detail = partial
+    detail.update(
+        sequential_ms=round(dt_seq * 1e3, 2),
+        state_dim=int(model.latent_dim),
+    )
     dt_best, best_engine = dt_seq, "sequential"
     try:
         y_flat = y_tf.reshape(-1)
@@ -386,9 +486,10 @@ def config4():
     }
 
 
-def config5():
+def config5(partial=None):
     """Approx spatio-temporal DTC: ELBO + hyperparameter gradient, M=5
     inducing points (reference: examples/approx_space_time_learning.jl)."""
+    partial = {} if partial is None else partial
     from temporalgps_tpu import RegularSpacing
     from temporalgps_tpu.gp import EQ, GP, ArrayStorage, Matern52, to_sde
     from temporalgps_tpu.space_time import RectilinearGrid, Separable, elbo
@@ -423,16 +524,19 @@ def config5():
     dt_blk, cs_b, _ = timed(g_blk, p0, y_b, iters=3)
     log(f"c5 block elbo+grad Ns={Ns} M={M} Nt={Nt_blk}: {dt_blk*1e3:.2f} ms "
         f"compile {cs_b:.0f}s")
+    partial["block_Nt100k_grad_ms"] = round(dt_blk * 1e3, 2)
 
     # headline: the steady engine at BASELINE spec scale Nt=1M
     y_s, fn_s = setup(Nt_st)
     f = jax.jit(lambda p, y_: fn_s(p, y_, "steady"))
     dt_f, cs, _ = timed(f, p0, y_s, iters=3 if SMOKE else 5)
     log(f"c5 steady elbo Ns={Ns} M={M} Nt={Nt_st}: {dt_f*1e3:.2f} ms compile {cs:.0f}s")
+    partial["elbo_ms"] = round(dt_f * 1e3, 2)
     g = jax.jit(jax.value_and_grad(lambda p, y_: fn_s(p, y_, "steady")))
     dt_g, cs_g, _ = timed(g, p0, y_s, iters=3)
     log(f"c5 steady elbo+grad Ns={Ns} M={M} Nt={Nt_st}: {dt_g*1e3:.2f} ms "
         f"compile {cs_g:.0f}s")
+    partial["elbo_grad_ms"] = round(dt_g * 1e3, 2)
     # grad cross-check at the block scale (values must agree; see
     # tests/test_steady_engine.py for the tolerance provenance)
     g_st_small = jax.jit(jax.value_and_grad(lambda p, y_: fn_b(p, y_, "steady")))
@@ -513,11 +617,12 @@ def _wait_for_backend(total_s: float = 600.0):
 
 
 def main():
+    _install_deadline_guards()
     # Resilient backend bring-up: poll relay health (up to ~10 min) before
     # declaring the TPU unreachable, and only then emit a parseable error
     # line — jax.devices() otherwise blocks forever when the port-relay
     # process has died (seen after a TPU worker crash).
-    devs = _wait_for_backend(600.0)
+    devs = _wait_for_backend(min(600.0, max(60.0, _budget_left() - 120.0)))
     if devs is None:
         print(json.dumps({
             "metric": "matern52_logpdf_grad_timesteps_per_sec_N1e6_f32",
@@ -527,33 +632,35 @@ def main():
         }))
         sys.exit(1)
     log("devices:", devs)
-    configs = {}
-    for name, fn in [
-        ("c1_matern32_n10k_static", config1),
-        ("c2_matern52_n1m_learning", config2),
-        ("c3_sum_kernel_d19_n1m", config3),
-        ("c4_exact_space_time_50x1000", config4),
-        ("c5_dtc_elbo_learning", config5),
-    ]:
+    plan = [
+        # (name, fn, rough worst-case cold cost in seconds — used to decide
+        # whether starting it would blow the soft budget)
+        ("c2_matern52_n1m_learning", config2, 180.0),
+        ("c1_matern32_n10k_static", config1, 60.0),
+        ("c3_sum_kernel_d19_n1m", config3, 240.0),
+        ("c4_exact_space_time_50x1000", config4, 120.0),
+        ("c5_dtc_elbo_learning", config5, 420.0),
+    ]
+    for name, _, _ in plan:
+        _CONFIGS[name] = None  # placeholder so an emergency dump lists it
+    for name, fn, est_cost in plan:
+        if _budget_left() < min(est_cost, 120.0):
+            log(f"{name} skipped: {_budget_left():.0f}s left of "
+                f"{BUDGET_S:.0f}s budget (est cost {est_cost:.0f}s)")
+            _CONFIGS[name] = {"skipped": "budget"}
+            continue
+        log(f"--- {name} (t={_elapsed():.0f}s, budget left "
+            f"{_budget_left():.0f}s)")
+        partial = {}
+        _CONFIGS[name] = {"in_progress": True, "partial": partial}
         try:
-            configs[name] = fn()
+            _CONFIGS[name] = fn(partial)
         except Exception as e:  # noqa: BLE001 — emit what succeeded
             log(f"{name} FAILED: {type(e).__name__}: {e}")
             log(traceback.format_exc())
-            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+            _CONFIGS[name] = {"error": f"{type(e).__name__}: {e}"}
 
-    head = configs.get("c2_matern52_n1m_learning", {})
-    print(
-        json.dumps(
-            {
-                "metric": "matern52_logpdf_grad_timesteps_per_sec_N1e6_f32",
-                "value": head.get("value"),
-                "unit": "timesteps/s",
-                "vs_baseline": head.get("vs_baseline"),
-                "configs": configs,
-            }
-        )
-    )
+    _emit(_CONFIGS)
 
 
 if __name__ == "__main__":

@@ -57,3 +57,29 @@ IDENT_EPS = 1e-12
 RAND_JITTER = 1e-9
 POSTERIOR_JITTER = 1e-10
 LARGE_VAR = 1e15
+
+
+def host_cpu_cache_tag() -> str:
+    """Fingerprint of the host CPU for persistent-XLA-cache directories.
+
+    XLA:CPU AOT cache entries embed the compile host's machine features but
+    the cache KEY does not; the build VM migrates across heterogeneous
+    hosts, and a stale entry loads fine yet computes WRONG NUMBERS (chol JVP
+    tangents 2x off, `cpu_aot_loader ... SIGILL` on stderr). Per-machine-
+    type cache dirs sidestep it. Hashes the full /proc/cpuinfo feature
+    surface plus the machine arch — x86 uses 'flags', aarch64 uses
+    'Features'; hashing everything keeps unexpected formats distinct rather
+    than silently colliding on an empty string."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = [
+                l for l in f
+                if l.startswith(("flags", "Features", "model name", "CPU part"))
+            ]
+        blob = platform.machine() + "".join(sorted(set(lines)))
+    except OSError:
+        blob = platform.machine() + platform.processor()
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]

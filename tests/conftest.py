@@ -30,16 +30,10 @@ jax.config.update("jax_platforms", "cpu")
 # tangents 2x off after a host swap, with cpu_aot_loader SIGILL warnings on
 # stderr). Fingerprint the cache dir by the host's CPU flags so each
 # machine type gets its own cache.
-import hashlib  # noqa: E402
+from temporalgps_tpu.config import host_cpu_cache_tag  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((l for l in _f if l.startswith("flags")), "")
-    _cpu_tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
-except OSError:
-    _cpu_tag = "unknown"
 jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/tgps_test_cache_{_cpu_tag}"
+    "jax_compilation_cache_dir", f"/tmp/tgps_test_cache_{host_cpu_cache_tag()}"
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
