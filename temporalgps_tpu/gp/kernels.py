@@ -496,3 +496,96 @@ def to_sde_matrices(k: Kernel, dtype=jnp.float64):
         H = jnp.concatenate([jnp.atleast_1d(p[2]) for p in parts])
         return F, tuple(p[1] for p in parts), H
     raise TypeError(type(k))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-component basis extraction (the "basis" engine's front end)
+# ---------------------------------------------------------------------------
+
+def split_deterministic(k):
+    """Split a kernel into (stochastic, deterministic) summand lists.
+
+    Deterministic summands (Cosine / Constant / ApproxPeriodic — zero
+    diffusion, reference: src/gp/lti_sde.jl:239-320) are finite-dimensional
+    Gaussian-weighted basis functions: f_det(t) = H expm(F t) w with
+    w ~ N(0, P_inf). The basis engine marginalises them analytically
+    against the reduced stochastic SSM instead of carrying their
+    unboundedly-information-accumulating state blocks through the filter.
+
+    A Product is deterministic only when ALL factors are: with any
+    stochastic factor, Q = P - A P A' = Q_stoch (x) P_det (Kronecker),
+    which is SPD — the product belongs on the stochastic side."""
+    if isinstance(k, Sum):
+        stoch, det = [], []
+        for c in k.kernels:
+            s, d = split_deterministic(c)
+            stoch += s
+            det += d
+        return stoch, det
+    if isinstance(k, Scaled):
+        s, d = split_deterministic(k.kernel)
+        return (
+            [Scaled(c, k.sigma2) for c in s],
+            [Scaled(c, k.sigma2) for c in d],
+        )
+    if isinstance(k, Stretched):
+        s, d = split_deterministic(k.kernel)
+        return (
+            [Stretched(c, k.s) for c in s],
+            [Stretched(c, k.s) for c in d],
+        )
+    if isinstance(k, (Cosine, Constant, ApproxPeriodic)):
+        return [], [k]
+    if isinstance(k, Product):
+        if all(has_deterministic_component(c) for c in k.kernels):
+            return [], [k]
+        return [k], []
+    return [k], []
+
+
+def det_basis_columns(k: Kernel, tau, dtype=jnp.float64):
+    """Basis matrix M (N, d) and weight prior P0 (d, d) of a deterministic
+    kernel: f(t) = M(t) w, w ~ N(0, P0), where M(t) = H expm(F (t - t0)).
+
+    `tau` is t - t0 (N,). Rotation blocks preserve P_inf, so the implied
+    covariance M(t) P0 M(t')' equals the kernel gram exactly for any t0.
+    Closed forms per leaf (no (N, d, d) transition materialisation for
+    ApproxPeriodic — per-harmonic (N, 2) columns instead)."""
+    tau = jnp.asarray(tau, dtype)
+    if isinstance(k, Cosine):
+        M = jnp.stack([jnp.cos(tau), -jnp.sin(tau)], axis=-1)
+        return M, jnp.eye(2, dtype=dtype)
+    if isinstance(k, Constant):
+        return (
+            jnp.ones(tau.shape + (1,), dtype),
+            jnp.asarray(k.c, dtype).reshape(1, 1),
+        )
+    if isinstance(k, ApproxPeriodic):
+        n = k.n_cos
+        inv_l2 = 1.0 / (4.0 * jnp.asarray(k.r, dtype) ** 2)
+        qs = [(2.0 - (j == 0)) * _besseli_scaled(j, inv_l2) for j in range(n)]
+        cols = []
+        for j in range(n):
+            th = 2.0 * jnp.pi * j * tau
+            cols += [jnp.cos(th), -jnp.sin(th)]
+        M = jnp.stack(cols, axis=-1)
+        P0 = psd.block_diag([q * jnp.eye(2, dtype=dtype) for q in qs])
+        return M, P0
+    if isinstance(k, Scaled):
+        M, P0 = det_basis_columns(k.kernel, tau, dtype)
+        return jnp.sqrt(jnp.asarray(k.sigma2, dtype)) * M, P0
+    if isinstance(k, Stretched):
+        return det_basis_columns(k.kernel, jnp.asarray(k.s, dtype) * tau, dtype)
+    if isinstance(k, Product):
+        M, P0 = det_basis_columns(k.kernels[0], tau, dtype)
+        for c in k.kernels[1:]:
+            Mc, Pc = det_basis_columns(c, tau, dtype)
+            M = (M[..., :, None] * Mc[..., None, :]).reshape(
+                M.shape[:-1] + (M.shape[-1] * Mc.shape[-1],)
+            )
+            P0 = jnp.kron(P0, Pc)
+        return M, P0
+    # Generic fallback through the SDE atoms (future leaf types).
+    atoms = sde_atoms(k, dtype)
+    Phi = atoms.transition(tau)  # (N, d, d)
+    return jnp.einsum("i,...ij->...j", atoms.H, Phi), atoms.P_inf

@@ -345,17 +345,83 @@ def rand(key, fx: FiniteLTISDE, n: int = None, *, engine=None):
     )(keys)
 
 
+def basis_setup(fx: FiniteLTISDE):
+    """Front end of the basis engine (ops/basis.py): split the kernel into
+    stochastic + deterministic summands, compile the REDUCED stochastic
+    LGSSM, and evaluate the deterministic components' closed-form basis
+    columns M (N, d_det) with weight prior P0.
+
+    Returns (model_stoch, M, P0) with M/P0 in the storage dtype; M is None
+    when the kernel has no deterministic component. Raises TypeError for
+    grid inputs (the spatio-temporal compilers handle those)."""
+    if _is_grid(fx.x):
+        raise TypeError("engine='basis' supports time-series inputs only")
+    f = fx.f
+    dtype = _storage_dtype(f.storage)
+    kern = f.f.kernel
+    stoch, det = K.split_deterministic(kern)
+    if not det:
+        return build_lgssm(fx), None, None
+    if not stoch:
+        raise TypeError(
+            "engine='basis' needs at least one stochastic summand; a purely "
+            "deterministic kernel has a singular prior — add observation "
+            "noise to the model instead (engine='sequential')"
+        )
+    k_stoch = stoch[0] if len(stoch) == 1 else K.Sum(tuple(stoch))
+    fx_stoch = FiniteLTISDE(LTISDE(GP(k_stoch, f.f.mean), f.storage), fx.x, fx.noise)
+    model = build_lgssm(fx_stoch)
+
+    t = time_array(fx.x)
+    tau = jnp.asarray(t, jnp.float64) - jnp.asarray(t, jnp.float64)[0]
+    Ms, P0s = [], []
+    for kd in det:
+        M_j, P0_j = K.det_basis_columns(kd, tau, jnp.float64)
+        Ms.append(M_j)
+        P0s.append(P0_j)
+    M = jnp.concatenate(Ms, axis=-1).astype(dtype)
+    P0 = psd.block_diag(P0s).astype(dtype)
+    return model, M, P0
+
+
+def _logpdf_basis(fx: FiniteLTISDE, y, *, sub_engine=None, n_blocks=None):
+    """Marginalised-basis lml (see ops/basis.py). NaNs in y are missing
+    observations: the usual large-variance fill of the reduced model makes
+    every column's innovation contribution vanish at missing steps, and the
+    standard volume compensation applies unchanged."""
+    from ..ops import basis as basis_ops
+
+    model, M, P0 = basis_setup(fx)
+    dtype = model.trans.x0.dtype
+    y = jnp.asarray(y, dtype)
+    if M is None:  # no deterministic part: plain fast path
+        return missings_mod.logpdf_with_missings(model, y, engine=sub_engine)
+    model_f, y_f, comp = missings_mod.transform_model_and_obs(model, y)
+    Y = jnp.concatenate([y_f[:, None], M], axis=-1)
+    w_off = jnp.zeros(Y.shape[-1], dtype).at[0].set(1.0)
+    eng = sub_engine or "block"
+    return basis_ops.logpdf_basis(
+        model_f, Y, w_off, P0, engine=eng, n_blocks=n_blocks
+    ) + comp
+
+
 def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):
     """Log marginal likelihood; NaNs in y are missing observations
     (reference: src/gp/lti_sde.jl:60-68). engine="kron" selects the
     factored spatio-temporal filter (space_time/kron.py) for plain
-    Separable models on a RectilinearGrid.
+    Separable models on a RectilinearGrid; engine="basis" marginalises
+    deterministic kernel components (Cosine/Constant/ApproxPeriodic) as
+    closed-form basis functions against the reduced stochastic SSM
+    (ops/basis.py) — the fast exact path for sum kernels with
+    deterministic blocks.
 
     engine="lti"/"steady" require fully-observed data: with concrete y a
     NaN raises ValueError, but under jit (traced y, e.g. a training loop
     whose data later gains gaps) the check is impossible and NaN
     observations yield a NaN lml — guard with jnp.isnan before jit or use
     engine='block'/'sequential' for data with gaps."""
+    if engine == "basis":
+        return _logpdf_basis(fx, y, **engine_kwargs)
     if _route_kron(fx, engine):
         from ..space_time import kron
 

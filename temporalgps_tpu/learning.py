@@ -140,10 +140,12 @@ def value_and_grad_fisher(model_fn, y, *, n_blocks=None, engine="parallel"):
     Accuracy (innovations form, flat in lambda*dt down to 1e-3 — see
     ops/fisher.py): f64 ~1e-9, f32 ~1e-5 rel vs autodiff.
 
-    Scope: model_fn must produce a scalar-emission FORWARD model with SPD
-    per-step process noise (Matern family and sums of Materns; models with
-    deterministic blocks — Cosine/Constant/ApproxPeriodic — are rejected by
-    ops/fisher's assertions; use the fwd-mode path there).
+    Scope: model_fn must produce a scalar-emission FORWARD model. Both SPD
+    and semi-definite per-step process noise are supported — the
+    innovations form is Koopman's exact score, valid for deterministic
+    blocks (Cosine/Constant/ApproxPeriodic) too; see ops/fisher.py for the
+    measured accuracy. For such kernels the basis engine
+    (logpdf(engine="basis") + value_and_grad_fwd) is usually faster still.
 
     model_fn: flat params array -> LGSSM. Returns fn: params -> (value,
     grad_array).

@@ -1,0 +1,279 @@
+"""Basis-marginalised inference: deterministic kernel components as
+Gaussian-weighted basis functions, marginalised in innovations form.
+
+Deterministic SDE blocks (Cosine / Constant / ApproxPeriodic — Q = 0,
+reference: src/gp/lti_sde.jl:239-320) are exactly finite-dimensional
+regressors: f_det(t) = M(t) w with w ~ N(0, P0) and M(t) closed-form
+(gp/kernels.det_basis_columns). Instead of filtering the full state (where
+the deterministic blocks accumulate information without bound, break the
+steady/Fisher fast paths, and need an f32 process-noise floor), write
+
+    y ~ N(mu + M w, V),   V = K_stoch + diag(s),   w ~ N(0, P0)
+
+and marginalise w by Woodbury. With the innovations factorisation
+V = L S L' produced by the Kalman filter of the REDUCED stochastic model
+(e = L^{-1} c are the innovations of a column c, S the innovation
+variances), every Woodbury ingredient is a Gram matrix of innovations:
+
+    C[i, j] = c_i' V^{-1} c_j = sum_t e_i,t e_j,t / S_t ,
+
+computed for all columns [y - mu | M] in ONE filter pass: the Kalman gain
+and covariance recursion are data-independent, so the mean recursion simply
+carries R columns instead of one. Then with T = L0' C_b L0 (L0 = chol(P0),
+C_b the basis block, b the basis-vs-y column, u = L0' b):
+
+    lml = -1/2 [ C_yy - u'(I+T)^{-1}u + logdet V + logdet(I+T) + N log 2pi ]
+
+(logdet(P0^{-1} + C_b) + logdet P0 = logdet(I + T); all RxR, R ~ 15).
+Everything is well-conditioned: no Q^{-1}, no deterministic covariance
+collapse — the exact lml of the full model, usually to better accuracy than
+filtering the full state (the f32 full-state path needs a 1e-5 P_inf
+process-noise floor; this path needs none).
+
+Engines: `sequential` (ground truth) and `block` (the ops/block two-level
+scheme generalised to matrix-valued offsets b, eta — the combine algebra of
+assoc._combine_filter with (D, R) right-hand sides).
+
+The reference has no analogue: it filters deterministic blocks in f64 and
+differentiates with Mooncake AD (reference: src/gp/lti_sde.jl:255-320,
+NEWS.md:9-17).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..models import emissions as em
+from ..utils import psd
+from ..utils.fill import scan_emit, time_length
+from ..utils.gaussian import Gaussian
+from . import assoc, block
+
+
+def _mT(X):
+    return jnp.swapaxes(X, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# sequential engine (ground truth)
+# ---------------------------------------------------------------------------
+
+def grams_sequential(model, Y, w_off):
+    """(logdetV, C) with C[i,j] = c_i' V^{-1} c_j over the columns of Y.
+
+    Y: (N, R) observation columns. w_off: (R,) offset mask — 1 for columns
+    that see the model's affine offsets (the data column), 0 for pure-linear
+    columns (basis functions). Scalar-emission forward models only.
+    """
+    t = model.trans
+    assert t.forward and isinstance(model.emis, em.ScalarEmissions)
+    D = model.latent_dim
+    dtype = t.x0.dtype
+    R = Y.shape[-1]
+    Y = jnp.asarray(Y, dtype)
+    w_off = jnp.asarray(w_off, dtype)
+    I = jnp.eye(D, dtype=dtype)
+
+    def step(carry, sl):
+        m, P, gram, ld = carry
+        ((A, a, Q), e), yt = sl
+        H, h, s = e.H, e.h, e.s
+        m = A @ m + a[:, None] * w_off
+        P = psd.symmetrize(A @ P @ A.T + Q)
+        PH = P @ H
+        S = H @ PH + s
+        e_t = yt - (H @ m + h * w_off)  # (R,)
+        gram = gram + e_t[:, None] * e_t[None, :] / S
+        ld = ld + jnp.log(S)
+        K = PH / S
+        m = m + K[:, None] * e_t[None, :]
+        P = psd.symmetrize((I - K[:, None] * H[None, :]) @ P)
+        return None, (m, P, gram, ld)
+
+    params = ((t.As, t.offs, t.Qs), model.emis)
+    init = (
+        t.x0.mean[:, None] * w_off,
+        psd.symmetrize(t.x0.cov),
+        jnp.zeros((R, R), dtype),
+        jnp.zeros((), dtype),
+    )
+    _, (_, _, gram, ld) = scan_emit(step, (params, Y), init)
+    return ld, gram
+
+
+# ---------------------------------------------------------------------------
+# block engine: ops/block phases with matrix-valued (D, R) offsets
+# ---------------------------------------------------------------------------
+
+def _step_element_multi(params, w_off, D, dtype):
+    """Multi-column filtering element of one step (scalar emissions).
+    Identical algebra to block._step_element with b, eta of shape
+    (..., D, R)."""
+    ((A, a, Q), e), yt = params
+    I = jnp.eye(D, dtype=dtype)
+    H, h, s = e.H, e.h, e.s
+    S = jnp.einsum("...i,...ij,...j->...", H, Q, H) + s
+    K = jnp.einsum("...ij,...j->...i", Q, H) / S[..., None]
+    ImKH = I - K[..., :, None] * H[..., None, :]
+    A_e = ImKH @ A
+    off = (jnp.einsum("...i,...i->...", H, a) + h)[..., None] * w_off
+    resid = yt - off  # (..., R)
+    b_e = a[..., :, None] * w_off + K[..., :, None] * resid[..., None, :]
+    C_e = psd.symmetrize(ImKH @ Q)
+    w = jnp.einsum("...ji,...j->...i", A, H)
+    eta_e = w[..., :, None] * (resid / S[..., None])[..., None, :]
+    J_e = psd.symmetrize(w[..., :, None] * w[..., None, :] / S[..., None, None])
+    return (A_e, b_e, C_e, eta_e, J_e)
+
+
+def _combine_filter_multi(e_i, e_j):
+    """assoc._combine_filter with matrix-valued b, eta ((..., D, R))."""
+    A_i, b_i, C_i, eta_i, J_i = e_i
+    A_j, b_j, C_j, eta_j, J_j = e_j
+    M = assoc._minv(C_i, J_j)
+    AjM = A_j @ M
+    MAi = M @ A_i
+    A = A_j @ MAi
+    b = AjM @ (b_i + C_i @ eta_j) + b_j
+    C = psd.symmetrize(AjM @ C_i @ _mT(A_j) + C_j)
+    eta = _mT(MAi) @ (eta_j - J_j @ b_i) + eta_i
+    J = psd.symmetrize(_mT(MAi) @ J_j @ A_i + J_i)
+    return (A, b, C, eta, J)
+
+
+def _identity_element_multi(B, D, R, dtype):
+    return (
+        jnp.broadcast_to(jnp.eye(D, dtype=dtype), (B, D, D)),
+        jnp.zeros((B, D, R), dtype),
+        jnp.zeros((B, D, D), dtype),
+        jnp.zeros((B, D, R), dtype),
+        jnp.zeros((B, D, D), dtype),
+    )
+
+
+def grams_block(model, Y, w_off, *, n_blocks=None):
+    """Block-parallel multi-column innovation grams (see grams_sequential).
+
+    Phase 1 combines multi-column elements within blocks; phase 2
+    prefix-combines the aggregates for exact block-start states; phase 3
+    runs the batched Kalman recursion inside all blocks at once,
+    accumulating per-block grams and innovation log-variances. A remainder
+    tail is absorbed by large-variance padding (block._pad_tail): padded
+    steps have H = 0, so their innovation is exactly 0 (zero gram
+    contribution) and their log-variance exactly log(LARGE_VAR), subtracted
+    in closed form.
+    """
+    from ..config import LARGE_VAR
+
+    t = model.trans
+    assert t.forward and isinstance(model.emis, em.ScalarEmissions)
+    D = model.latent_dim
+    dtype = t.x0.dtype
+    R = Y.shape[-1]
+    Y = jnp.asarray(Y, dtype)
+    w_off = jnp.asarray(w_off, dtype)
+    N = len(model)
+    B = min(n_blocks or block._default_blocks(N, D), N)
+
+    params_p, Y_p, _, n_pad, _ = block._pad_tail(model, Y, B)
+    L = (N + n_pad) // B
+    blocked = block._split_tree((params_p, Y_p), B, L)
+
+    def phase1_step(carry, sl):
+        elem = _step_element_multi(sl, w_off, D, dtype)
+        return None, _combine_filter_multi(carry, elem)
+
+    if D > 8:
+        phase1_step = jax.checkpoint(phase1_step)
+    _, agg = scan_emit(phase1_step, blocked, _identity_element_multi(B, D, R, dtype))
+
+    prior = (
+        jnp.zeros((1, D, D), dtype),
+        (t.x0.mean[:, None] * w_off)[None].astype(dtype),
+        psd.symmetrize(t.x0.cov)[None].astype(dtype),
+        jnp.zeros((1, D, R), dtype),
+        jnp.zeros((1, D, D), dtype),
+    )
+    elems = tuple(jnp.concatenate([p, a], axis=0) for p, a in zip(prior, agg))
+    pref = jax.lax.associative_scan(_combine_filter_multi, elems, axis=0)
+    starts_m, starts_P = pref[1][:-1], pref[2][:-1]  # (B, D, R), (B, D, D)
+
+    I = jnp.eye(D, dtype=dtype)
+
+    def phase3_step(carry, sl):
+        m, P, gram, ld = carry  # (B,D,R), (B,D,D), (B,R,R), (B,)
+        ((A, a, Q), e), yt = sl
+        H, h, s = e.H, e.h, e.s
+        m = A @ m + a[..., :, None] * w_off
+        P = psd.symmetrize(A @ P @ _mT(A) + Q)
+        PH = jnp.einsum("...ij,...j->...i", P, H)
+        S = jnp.einsum("...i,...i->...", H, PH) + s
+        e_t = yt - (
+            jnp.einsum("...i,...ir->...r", H, m) + h[..., None] * w_off
+        )
+        gram = gram + e_t[..., :, None] * e_t[..., None, :] / S[..., None, None]
+        ld = ld + jnp.log(S)
+        K = PH / S[..., None]
+        m = m + K[..., :, None] * e_t[..., None, :]
+        P = psd.symmetrize((I - K[..., :, None] * H[..., None, :]) @ P)
+        return None, (m, P, gram, ld)
+
+    if D > 8:
+        phase3_step = jax.checkpoint(phase3_step)
+    init = (
+        starts_m,
+        starts_P,
+        jnp.zeros((B, R, R), dtype),
+        jnp.zeros((B,), dtype),
+    )
+    _, (_, _, gram_b, ld_b) = scan_emit(phase3_step, blocked, init)
+    gram = jnp.sum(gram_b, axis=0)
+    ld = jnp.sum(ld_b) - n_pad * jnp.log(jnp.asarray(LARGE_VAR, dtype))
+    return ld, gram
+
+
+# ---------------------------------------------------------------------------
+# Woodbury assembly
+# ---------------------------------------------------------------------------
+
+def marginalised_lml(ld, gram, P0, N, dtype):
+    """lml of y under V + M P0 M' from the innovation grams of [y | M].
+
+    gram[0, 0] = y'V^{-1}y, gram[1:, 0] = M'V^{-1}y, gram[1:, 1:] =
+    M'V^{-1}M; ld = logdet V. Cholesky-congruence form keeps every solve
+    SPD: T = L0' C_b L0 with L0 = chol(P0)."""
+    import math
+
+    q_y = gram[0, 0]
+    b = gram[1:, 0]
+    C_b = psd.symmetrize(gram[1:, 1:])
+    d = C_b.shape[-1]
+    if d == 0:
+        return -0.5 * (q_y + ld + N * math.log(2.0 * math.pi))
+    L0 = psd.cholesky(psd.symmetrize(jnp.asarray(P0, dtype)))
+    T = psd.symmetrize(_mT(L0) @ C_b @ L0)
+    u = _mT(L0) @ b[:, None]
+    IT = T + jnp.eye(d, dtype=dtype)
+    Lt = psd.cholesky(IT)
+    z = psd.tri_solve(Lt, u)
+    corr = jnp.sum(z * z)
+    logdet_IT = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lt)))
+    return -0.5 * (
+        q_y - corr + ld + logdet_IT + N * math.log(2.0 * math.pi)
+    )
+
+
+def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None):
+    """Marginalised lml: `model` is the reduced stochastic LGSSM, Y the
+    (N, 1 + d_det) column stack [y - 0 | M] (column 0 = data), w_off the
+    offset mask, P0 the (d_det, d_det) basis-weight prior covariance."""
+    from ..config import precision_ctx
+
+    dtype = model.trans.x0.dtype
+    # Same per-model-dim matmul-precision scoping as the models/lgssm
+    # drivers: TPU bf16-default matmuls corrupt the D>4 element recursions.
+    with precision_ctx(model.latent_dim):
+        if engine == "sequential":
+            ld, gram = grams_sequential(model, Y, w_off)
+        else:
+            ld, gram = grams_block(model, Y, w_off, n_blocks=n_blocks)
+        return marginalised_lml(ld, gram, P0, len(model), dtype)

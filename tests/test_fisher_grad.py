@@ -137,3 +137,25 @@ def test_value_and_grad_fisher_k10(rng):
     np.testing.assert_allclose(float(v_f), float(v_a), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_a),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_det_block_gradients_match(rng):
+    """Deterministic blocks (Q = 0): the innovations form is Koopman's exact
+    score, valid for semi-definite Q — no EM complete-data density needed
+    (see ops/fisher.py docstring; probes/fisher_detblock_probe.py for the
+    N-scaling)."""
+    from temporalgps_tpu.gp import ApproxPeriodic
+
+    N = 128
+    x = RegularSpacing(0.0, 0.05, N)
+    y = jnp.asarray(rng.standard_normal(N))
+
+    def build(p):
+        s2, sc, noise = jnp.exp(p)
+        kern = s2 * Matern52() + 0.3 * ApproxPeriodic(sc, n_cos=2)
+        return api.build_lgssm(to_sde(GP(kern))(x, noise))
+
+    p0 = jnp.asarray([0.1, -0.5, -1.5])
+    g_f = jax.grad(lambda p: logpdf_fisher(build(p), y))(p0)
+    g_a = jax.grad(lambda p: logpdf(build(p), y, engine="sequential"))(p0)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_a), rtol=1e-4)
