@@ -416,11 +416,22 @@ def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):
     deterministic blocks.
 
     engine="lti"/"steady" require fully-observed data: with concrete y a
-    NaN raises ValueError, but under jit (traced y, e.g. a training loop
-    whose data later gains gaps) the check is impossible and NaN
-    observations yield a NaN lml — guard with jnp.isnan before jit or use
-    engine='block'/'sequential' for data with gaps."""
-    if engine == "basis":
+    NaN raises ValueError; under jit (traced y, e.g. a training loop whose
+    data later gains gaps) a runtime lax.cond falls back to the block
+    engine's missing-data path when NaNs appear, so the lml stays finite
+    and exact (pass nan_fallback=False to restore NaN propagation and skip
+    compiling the fallback branch)."""
+    if engine == "basis" or (
+        engine is None
+        and not _is_grid(fx.x)
+        and K.has_deterministic_component(fx.f.f.kernel)
+        and K.split_deterministic(fx.f.f.kernel)[0]
+    ):
+        # Auto-route kernels with deterministic components (given at least
+        # one stochastic summand) to the basis engine: exact same lml as
+        # filtering the full state, without the deterministic blocks'
+        # unbounded information accumulation (which forces the sequential
+        # engine + an f32 process-noise floor on every other path).
         return _logpdf_basis(fx, y, **engine_kwargs)
     if _route_kron(fx, engine):
         from ..space_time import kron

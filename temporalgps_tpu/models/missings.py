@@ -69,15 +69,21 @@ def transform_model_and_obs(model: LGSSM, y):
     return replace_observation_noise_cov(model, noise_filled), y_filled, comp
 
 
-def logpdf_with_missings(model: LGSSM, y, *, engine=None, **engine_kwargs):
+def logpdf_with_missings(model: LGSSM, y, *, engine=None, nan_fallback=True,
+                         **engine_kwargs):
     from .lgssm import logpdf
 
     if engine in ("lti", "steady"):
         # These engines require fully-observed data AND Fill (time-
         # invariant) noise; the missing-data transform materialises the
         # noise leaf, which would break their premise even for NaN-free
-        # data. Bypass it: NaNs (if any) propagate loudly to the lml,
-        # matching elbo's documented contract for these engines.
+        # data. With concrete y a NaN raises loudly. Under jit (traced y —
+        # e.g. a training loop whose data later gains gaps) the host check
+        # is impossible, so by default a lax.cond falls back to the block
+        # engine's missing-data path when NaNs appear at runtime: the loss
+        # stays finite and exact instead of silently NaN. The fallback
+        # branch costs extra compile time; nan_fallback=False restores the
+        # NaN-propagating contract.
         import jax
 
         y = jnp.asarray(y)
@@ -86,6 +92,15 @@ def logpdf_with_missings(model: LGSSM, y, *, engine=None, **engine_kwargs):
                 f"engine={engine!r} requires fully-observed data (no "
                 "NaNs); use engine='block'/'sequential' for missing data"
             )
+        if isinstance(y, jax.core.Tracer) and nan_fallback:
+            def fast(y_):
+                return logpdf(model, y_, engine=engine, **engine_kwargs)
+
+            def safe(y_):
+                m_f, y_f, comp = transform_model_and_obs(model, y_)
+                return logpdf(m_f, y_f, engine="block") + comp
+
+            return jax.lax.cond(jnp.isnan(y).any(), safe, fast, y)
         return logpdf(model, y, engine=engine, **engine_kwargs)
     model_f, y_f, comp = transform_model_and_obs(model, y)
     return logpdf(model_f, y_f, engine=engine, **engine_kwargs) + comp

@@ -203,9 +203,10 @@ def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
     (reference: pseudo_point.jl:62-82).
 
     engine="lti"/"steady" require fully-observed data: with concrete y a
-    NaN raises ValueError, but under jit (traced y) the check is impossible
-    and NaN observations yield a NaN loss — guard with jnp.isnan before jit
-    or use engine='block'/'sequential' when data may have gaps."""
+    NaN raises ValueError; under jit (traced y) a runtime lax.cond falls
+    back to the block engine's missing-data path when NaNs appear, so a
+    jitted training loop whose data gains gaps degrades gracefully instead
+    of returning NaN."""
     from ..gp.lti_sde import _storage_dtype, build_lgssm
 
     fx_dtc = dtcify(z_r, fx)
@@ -230,8 +231,11 @@ def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
         # Time-invariant fast paths (ops/lti.py, ops/steady.py): require
         # fully-observed data (the large-variance missing fill would break
         # Fill-ness). Raise host-side when y is concrete; under tracing
-        # (jitted training loop) a NaN check is impossible, so NaNs
-        # propagate loudly to the loss.
+        # (jitted training loop whose data later gains gaps) a lax.cond
+        # falls back to the block engine's missing-data path at runtime —
+        # the loss stays finite and exact instead of silently NaN
+        # (models/missings.logpdf_with_missings applies the same guard).
+        import jax
         import jax.core as _core
 
         if not isinstance(y_tf, _core.Tracer) and bool(jnp.isnan(y_tf).any()):
@@ -240,8 +244,20 @@ def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
                 "NaNs); use engine='block'/'sequential' for missing "
                 "observations"
             )
-        lp = lgssm_mod.logpdf(model, y_tf, engine=engine,
-                              n_warmup=n_warmup)
+        if isinstance(y_tf, _core.Tracer):
+            lp = jax.lax.cond(
+                jnp.isnan(y_tf).any(),
+                lambda y_: missings_mod.logpdf_with_missings(
+                    model, y_, engine="block"
+                ),
+                lambda y_: lgssm_mod.logpdf(
+                    model, y_, engine=engine, n_warmup=n_warmup
+                ),
+                y_tf,
+            )
+        else:
+            lp = lgssm_mod.logpdf(model, y_tf, engine=engine,
+                                  n_warmup=n_warmup)
     else:
         lp = missings_mod.logpdf_with_missings(model, y_tf, engine=engine)
     return lp - 0.5 * jnp.sum(tmp)

@@ -358,3 +358,63 @@ def test_rand_exact_vs_sequential(rng):
     y1 = lg.rand(key, m2, engine="sequential")
     y2 = lg.rand(key, m2, engine="steady")
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-10)
+
+
+def test_nan_under_jit_falls_back_to_block(rng):
+    """Round-4 guard (VERDICT r3 #6): jitted logpdf/elbo on the fast
+    time-invariant engines must degrade gracefully when NaNs appear at
+    runtime — a lax.cond routes to the block engine's missing-data path
+    instead of silently returning NaN."""
+    from temporalgps_tpu.gp import lti_sde as api
+
+    x = RegularSpacing(0.0, 0.1, 512)
+    y = rng.standard_normal(512)
+    y_nan = y.copy()
+    y_nan[13] = np.nan
+    y_nan[200:210] = np.nan
+    fx = to_sde(GP(Matern52()))(x, 0.1)
+
+    for engine in ("steady", "lti"):
+        f = jax.jit(lambda y_, e=engine: api.logpdf(fx, y_, engine=e))
+        # NaN-free traced data still takes the fast path (same value)
+        np.testing.assert_allclose(
+            float(f(jnp.asarray(y))),
+            float(api.logpdf(fx, y, engine="sequential")),
+            rtol=1e-9,
+        )
+        got = float(f(jnp.asarray(y_nan)))
+        want = float(api.logpdf(fx, y_nan, engine="sequential"))
+        assert np.isfinite(got)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    # nan_fallback=False restores the NaN-propagating contract
+    f_off = jax.jit(
+        lambda y_: api.logpdf(fx, y_, engine="steady", nan_fallback=False)
+    )
+    assert not np.isfinite(float(f_off(jnp.asarray(y_nan))))
+
+
+def test_elbo_nan_under_jit_falls_back(rng):
+    from temporalgps_tpu.gp import EQ
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable, elbo
+
+    Ns, Nt, M = 4, 200, 3
+    r = jnp.linspace(-2.0, 2.0, Ns)
+    xg = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
+    z = jnp.linspace(-2.0, 2.0, M)
+    fx = to_sde(GP(Separable(EQ().stretch(0.8), Matern52())))(xg, 0.1)
+    y = rng.standard_normal(Ns * Nt)
+    y_nan = y.copy()
+    y_nan[::17] = np.nan
+
+    f = jax.jit(lambda y_: elbo(fx, y_, z, engine="steady"))
+    got = float(f(jnp.asarray(y_nan)))
+    want = float(elbo(fx, jnp.asarray(y_nan), z, engine="block"))
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+    # gradient through the fallback stays finite
+    g = jax.jit(jax.grad(lambda y_: elbo(fx, y_, z, engine="steady")))(
+        jnp.asarray(y_nan)
+    )
+    assert bool(jnp.isfinite(jnp.nansum(g)))
