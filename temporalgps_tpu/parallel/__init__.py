@@ -1,4 +1,5 @@
 from .sharded import (
+    sharded_elbo,
     sharded_logpdf,
     sharded_posterior_marginals,
     sharded_posterior_rand,
@@ -6,6 +7,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "sharded_elbo",
     "sharded_logpdf",
     "sharded_posterior_marginals",
     "sharded_posterior_rand",

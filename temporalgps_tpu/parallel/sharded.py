@@ -710,3 +710,201 @@ def sharded_steady_logpdf(
     )
     with precision_ctx(D):
         return fn(y, y_warm, tuple(fills), (x0.mean, x0.cov))
+
+
+# ---------------------------------------------------------------------------
+# Distributed DTC ELBO (the sparse spatio-temporal training objective)
+# ---------------------------------------------------------------------------
+
+
+def _affine_pow(A, a, Q, n):
+    """n-fold composition of the affine-Gaussian map x -> N(Ax + a, Q) by
+    binary decomposition: log2(n) (D, D) compositions."""
+    D = A.shape[-1]
+    cur = (A, a, Q)
+    tot = None
+    m = n
+    while m:
+        if m & 1:
+            tot = cur if tot is None else _compose_affine(tot, cur)
+        cur = _compose_affine(cur, cur)
+        m >>= 1
+    if tot is None:  # n == 0
+        return (
+            jnp.eye(D, dtype=A.dtype), jnp.zeros_like(a), jnp.zeros_like(Q)
+        )
+    return tot
+
+
+def _compose_affine(e_i, e_j):
+    A_i, a_i, Q_i = e_i
+    A_j, a_j, Q_j = e_j
+    return (
+        A_j @ A_i,
+        A_j @ a_i + a_j,
+        psd.symmetrize(A_j @ Q_i @ A_j.T + Q_j),
+    )
+
+
+def sharded_elbo(
+    fx,
+    y,
+    z_r,
+    mesh: Mesh,
+    *,
+    time_axis: str = "t",
+    marg_engine=None,
+    n_blocks: Optional[int] = None,
+):
+    """Distributed Titsias ELBO of a spatio-temporal DTC model — the sparse
+    learning objective of BASELINE config #5 (reference:
+    examples/approx_space_time_learning.jl:44-77, computed there by a
+    sequential single-process filter), sharded over the time axis.
+
+    Everything in the objective is a sum of per-step terms given the
+    chunk-start states, and both start-state prefixes are O(n_dev) after an
+    O(log n_local) local reduction:
+
+      * the DATA filter chunk-reduces to one filtering element per device
+        (ops/block.chunk_total_element) and one all_gather, exactly like
+        sharded_logpdf — missing data handled by the usual local
+        large-variance fill + volume compensation;
+      * the PRIOR marginals (the q - Cf trace correction needs them) start
+        from x0 propagated by the chunk's affine transition power, computed
+        in log2(n_local) compositions with NO communication (all devices
+        share the Fill transition, so the device prefix is just repeated
+        composition of one element).
+
+    Requires a forward all-Fill-transition model (RectilinearGrid x
+    RegularSpacing DTC compilations are). y is flat space-fastest form, as
+    elbo. Nt must divide by the time-axis size. Returns the scalar ELBO.
+    """
+    from ..gp.lti_sde import _storage_dtype, build_lgssm
+    from ..models import lgssm as lgssm_mod
+    from ..models import missings as missings_mod
+    from ..models.gauss_markov import GaussMarkov
+    from ..models.lgssm import LGSSM
+    from ..space_time import grids
+    from ..space_time.pseudo_point import dtcify, kernel_diagonals
+    from ..utils.fill import tmaterialize
+
+    fx_dtc = dtcify(z_r, fx)
+    model = build_lgssm(fx_dtc)
+    if not model.trans.forward:
+        raise NotImplementedError("sharded_elbo: forward models only")
+    t = model.trans
+    if not (is_fill(t.As) and is_fill(t.offs) and is_fill(t.Qs)):
+        raise ValueError(
+            "sharded_elbo requires Fill (time-invariant) transitions — "
+            "RectilinearGrid with a RegularSpacing time axis"
+        )
+    dtype = _storage_dtype(fx.f.storage)
+    D = model.latent_dim
+    x0 = t.x0
+
+    y_tf = grids.observations_to_time_form(fx.x, jnp.asarray(y))
+    Nt, Dout = y_tf.shape
+    _check_divisible(Nt, mesh, time_axis)
+    n_dev = mesh.shape[time_axis]
+    n_loc = Nt // n_dev
+
+    Cf_diag = kernel_diagonals(fx_dtc.f.f.kernel, fx_dtc.x, dtype)  # (Nt, Dout)
+    Sigma = tmaterialize(model.emis.s_diag)  # (Nt, Dout) original noise
+    treedef, fill_mask, arrs, fills = _flatten_params(model)
+
+    arr_specs = tuple(P(time_axis) for _ in arrs)
+    fill_specs = tuple(P() for _ in fills)
+
+    def local_fn(y_loc, Cf_loc, Sig_loc, arrs_loc, fills_loc, x0_loc):
+        params = _rebuild(treedef, fill_mask, list(arrs_loc), list(fills_loc), n_loc)
+        (As_l, offs_l, Qs_l), emis_l = params
+        x0_g = Gaussian(*x0_loc)
+
+        # --- data term: distributed missing-filled filter ----------------
+        mask = jnp.isnan(y_loc)
+        Sig_filled, y_filled, n_miss = missings_mod.fill_in_missings(
+            Sig_loc, y_loc
+        )
+        comp = missings_mod._volume_compensation(n_miss, dtype)
+        emis_filled = em.replace_noise_cov(emis_l, Sig_filled)
+        params_f = ((As_l, offs_l, Qs_l), emis_filled)
+
+        agg = block.chunk_total_element(
+            (params_f, y_filled), D, dtype, n_blocks=n_blocks
+        )
+        all_agg = jax.lax.all_gather(agg, time_axis)
+        prior_el = (
+            jnp.zeros((D, D), dtype),
+            x0_g.mean.astype(dtype),
+            psd.symmetrize(x0_g.cov).astype(dtype),
+            jnp.zeros((D,), dtype),
+            jnp.zeros((D, D), dtype),
+        )
+
+        def fold(c, e):
+            return _combine(c, e), c
+
+        _, excl = jax.lax.scan(fold, prior_el, all_agg)
+        idx = jax.lax.axis_index(time_axis)
+        start_elem = jax.tree_util.tree_map(lambda a: a[idx], excl)
+        start = Gaussian(start_elem[1], start_elem[2])
+        lml_loc = block.chunk_logpdf_from_start(
+            (params_f, y_filled), start, D, dtype, n_blocks=n_blocks
+        ) + comp
+
+        # --- trace correction: local prior marginals ---------------------
+        A_v = As_l.value if is_fill(As_l) else As_l[0]
+        a_v = offs_l.value if is_fill(offs_l) else offs_l[0]
+        Q_v = Qs_l.value if is_fill(Qs_l) else Qs_l[0]
+        chunk_el = _affine_pow(A_v, a_v, Q_v, n_loc)
+        # all devices share the element: the device prefix is a tiny local
+        # scan over n_dev replicated copies — no collective needed.
+        reps = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), chunk_el
+        )
+
+        def fold_aff(c, e):
+            m_c, P_c = c
+            A_e, a_e, Q_e = e
+            return (
+                (A_e @ m_c + a_e, psd.symmetrize(A_e @ P_c @ A_e.T + Q_e)),
+                c,
+            )
+
+        _, excl_pri = jax.lax.scan(
+            fold_aff, (x0_g.mean, psd.symmetrize(x0_g.cov)), reps
+        )
+        start_pri = Gaussian(excl_pri[0][idx], excl_pri[1][idx])
+        model_loc = LGSSM(
+            GaussMarkov(
+                As=As_l, offs=offs_l, Qs=Qs_l, x0=start_pri, forward=True,
+                det_blocks=model.trans.det_blocks,
+            ),
+            emis_l,
+        )
+        _, marg_v = lgssm_mod.marginals_diag(model_loc, engine=marg_engine)
+
+        Sig_f2 = jnp.where(mask, missings_mod.LARGE_VAR, Sig_loc)
+        tmp = jnp.sum((Cf_loc - marg_v) / Sig_f2) + jnp.sum(~mask)
+        elbo_loc = lml_loc - 0.5 * tmp
+        return jax.lax.psum(elbo_loc, time_axis)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(time_axis, None),
+            P(time_axis, None),
+            P(time_axis, None),
+            arr_specs,
+            fill_specs,
+            (P(), P()),
+        ),
+        out_specs=P(),
+        check_rep=False,
+    )
+    with precision_ctx(D):
+        return fn(
+            y_tf, Cf_diag, Sigma, tuple(arrs), tuple(fills),
+            (x0.mean, x0.cov),
+        )

@@ -340,3 +340,63 @@ def test_sharded_steady_logpdf_grad(rng):
     v2, g2 = jax.jit(jax.value_and_grad(lambda p: loss(p, "sequential")))(p0)
     np.testing.assert_allclose(float(v), float(v2), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-7)
+
+
+def _dtc_setup(rng, Ns=4, Nt=240, M=3, nan=False):
+    from temporalgps_tpu.gp import EQ
+    from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+    r = jnp.linspace(-2.0, 2.0, Ns)
+    xg = RectilinearGrid(r, RegularSpacing(0.0, 0.05, Nt))
+    z = jnp.linspace(-2.0, 2.0, M)
+    fx = to_sde(GP(0.9 * Separable(EQ().stretch(0.8), Matern52())))(xg, 0.1)
+    y = rng.standard_normal(Ns * Nt)
+    if nan:
+        y[::13] = np.nan
+    return fx, jnp.asarray(y), z
+
+
+@pytest.mark.parametrize("nan", [False, True])
+def test_sharded_elbo_matches_single(rng, nan):
+    from temporalgps_tpu.parallel import sharded_elbo
+    from temporalgps_tpu.space_time import elbo
+
+    fx, y, z = _dtc_setup(rng, nan=nan)
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    got = float(jax.jit(lambda y_: sharded_elbo(fx, y_, z, mesh))(y))
+    want = float(elbo(fx, y, z, engine="block"))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_sharded_elbo_grad_matches_single(rng):
+    from temporalgps_tpu.parallel import sharded_elbo
+    from temporalgps_tpu.space_time import elbo
+
+    fx, y, z = _dtc_setup(rng, Nt=160)
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+
+    def obj_sharded(ly):
+        from temporalgps_tpu.gp import EQ
+        from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+        s2 = jnp.exp(ly)
+        fx2 = to_sde(GP(s2 * Separable(EQ().stretch(0.8), Matern52())))(
+            fx.x, 0.1
+        )
+        return sharded_elbo(fx2, y, z, mesh)
+
+    def obj_single(ly):
+        from temporalgps_tpu.gp import EQ
+        from temporalgps_tpu.space_time import RectilinearGrid, Separable
+
+        s2 = jnp.exp(ly)
+        fx2 = to_sde(GP(s2 * Separable(EQ().stretch(0.8), Matern52())))(
+            fx.x, 0.1
+        )
+        return elbo(fx2, y, z, engine="block")
+
+    p = jnp.asarray(0.3)
+    v_s, g_s = jax.jit(jax.value_and_grad(obj_sharded))(p)
+    v_1, g_1 = jax.jit(jax.value_and_grad(obj_single))(p)
+    np.testing.assert_allclose(float(v_s), float(v_1), rtol=1e-8)
+    np.testing.assert_allclose(float(g_s), float(g_1), rtol=1e-6)
