@@ -384,25 +384,61 @@ def basis_setup(fx: FiniteLTISDE):
     return model, M, P0
 
 
-def _logpdf_basis(fx: FiniteLTISDE, y, *, sub_engine=None, n_blocks=None):
+def _logpdf_basis(fx: FiniteLTISDE, y, *, sub_engine=None, n_blocks=None,
+                  n_warmup=None, block_len=16, nan_fallback=True):
     """Marginalised-basis lml (see ops/basis.py). NaNs in y are missing
     observations: the usual large-variance fill of the reduced model makes
     every column's innovation contribution vanish at missing steps, and the
-    standard volume compensation applies unchanged."""
+    standard volume compensation applies unchanged.
+
+    sub_engine="steady" runs the constant-gain grams engine
+    (ops/basis.grams_steady) on the raw Fill model — it requires
+    fully-observed data, with the same concrete-NaN ValueError /
+    traced-NaN lax.cond fallback contract as engine="steady" logpdf
+    (models/missings.logpdf_with_missings)."""
+    import jax
+
     from ..ops import basis as basis_ops
 
     model, M, P0 = basis_setup(fx)
     dtype = model.trans.x0.dtype
     y = jnp.asarray(y, dtype)
     if M is None:  # no deterministic part: plain fast path
-        return missings_mod.logpdf_with_missings(model, y, engine=sub_engine)
+        return missings_mod.logpdf_with_missings(
+            model, y, engine=sub_engine, nan_fallback=nan_fallback
+        )
+    w_off = jnp.zeros(M.shape[-1] + 1, dtype).at[0].set(1.0)
+
+    def _lml(model_, y_, eng, comp):
+        Y = jnp.concatenate([y_[:, None], M], axis=-1)
+        return basis_ops.logpdf_basis(
+            model_, Y, w_off, P0, engine=eng, n_blocks=n_blocks,
+            n_warmup=n_warmup, block_len=block_len,
+        ) + comp
+
+    if sub_engine == "steady":
+        # NB test the reduction, not y: y closed over under jit is concrete
+        # while jnp ops on it still bind to the ambient trace.
+        nan_any = jnp.isnan(y).any()
+        if not isinstance(nan_any, jax.core.Tracer):
+            if bool(nan_any):
+                raise ValueError(
+                    "sub_engine='steady' requires fully-observed data (no "
+                    "NaNs); use sub_engine='block' for missing data"
+                )
+            return _lml(model, y, "steady", jnp.zeros((), dtype))
+        if nan_fallback:
+            def fast(y_):
+                return _lml(model, y_, "steady", jnp.zeros((), dtype))
+
+            def safe(y_):
+                m_f, y_f, comp = missings_mod.transform_model_and_obs(model, y_)
+                return _lml(m_f, y_f, "block", comp)
+
+            return jax.lax.cond(nan_any, safe, fast, y)
+        return _lml(model, y, "steady", jnp.zeros((), dtype))
     model_f, y_f, comp = missings_mod.transform_model_and_obs(model, y)
-    Y = jnp.concatenate([y_f[:, None], M], axis=-1)
-    w_off = jnp.zeros(Y.shape[-1], dtype).at[0].set(1.0)
-    eng = sub_engine or "block"
-    return basis_ops.logpdf_basis(
-        model_f, Y, w_off, P0, engine=eng, n_blocks=n_blocks
-    ) + comp
+    return _lml(model_f, y_f, sub_engine or "block", comp)
 
 
 def logpdf(fx: FiniteLTISDE, y, *, engine=None, **engine_kwargs):

@@ -87,12 +87,17 @@ def logpdf_with_missings(model: LGSSM, y, *, engine=None, nan_fallback=True,
         import jax
 
         y = jnp.asarray(y)
-        if not isinstance(y, jax.core.Tracer) and bool(jnp.isnan(y).any()):
-            raise ValueError(
-                f"engine={engine!r} requires fully-observed data (no "
-                "NaNs); use engine='block'/'sequential' for missing data"
-            )
-        if isinstance(y, jax.core.Tracer) and nan_fallback:
+        # NB test the reduction, not y: y closed over under jit is concrete
+        # while jnp ops on it still bind to the ambient trace.
+        nan_any = jnp.isnan(y).any()
+        if not isinstance(nan_any, jax.core.Tracer):
+            if bool(nan_any):
+                raise ValueError(
+                    f"engine={engine!r} requires fully-observed data (no "
+                    "NaNs); use engine='block'/'sequential' for missing data"
+                )
+            return logpdf(model, y, engine=engine, **engine_kwargs)
+        if nan_fallback:
             def fast(y_):
                 return logpdf(model, y_, engine=engine, **engine_kwargs)
 
@@ -100,7 +105,7 @@ def logpdf_with_missings(model: LGSSM, y, *, engine=None, nan_fallback=True,
                 m_f, y_f, comp = transform_model_and_obs(model, y_)
                 return logpdf(m_f, y_f, engine="block") + comp
 
-            return jax.lax.cond(jnp.isnan(y).any(), safe, fast, y)
+            return jax.lax.cond(nan_any, safe, fast, y)
         return logpdf(model, y, engine=engine, **engine_kwargs)
     model_f, y_f, comp = transform_model_and_obs(model, y)
     return logpdf(model_f, y_f, engine=engine, **engine_kwargs) + comp

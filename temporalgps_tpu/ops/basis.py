@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from ..models import emissions as em
 from ..utils import psd
-from ..utils.fill import scan_emit, time_length
+from ..utils.fill import Fill, is_fill, scan_emit, time_length
 from ..utils.gaussian import Gaussian
 from . import assoc, block
 
@@ -150,7 +150,7 @@ def _identity_element_multi(B, D, R, dtype):
     )
 
 
-def grams_block(model, Y, w_off, *, n_blocks=None):
+def grams_block(model, Y, w_off, *, n_blocks=None, final_state=False):
     """Block-parallel multi-column innovation grams (see grams_sequential).
 
     Phase 1 combines multi-column elements within blocks; phase 2
@@ -161,6 +161,11 @@ def grams_block(model, Y, w_off, *, n_blocks=None):
     steps have H = 0, so their innovation is exactly 0 (zero gram
     contribution) and their log-variance exactly log(LARGE_VAR), subtracted
     in closed form.
+
+    final_state=True additionally returns the per-column filtering means
+    (D, R) and shared covariance (D, D) after the last step — only valid
+    when n_blocks divides N exactly (padded steps would advance the state
+    past step N through the transition).
     """
     from ..config import LARGE_VAR
 
@@ -174,6 +179,10 @@ def grams_block(model, Y, w_off, *, n_blocks=None):
     N = len(model)
     B = min(n_blocks or block._default_blocks(N, D), N)
 
+    if final_state and N % B:
+        raise ValueError(
+            f"grams_block(final_state=True) needs n_blocks | N, got {B} and {N}"
+        )
     params_p, Y_p, _, n_pad, _ = block._pad_tail(model, Y, B)
     L = (N + n_pad) // B
     blocked = block._split_tree((params_p, Y_p), B, L)
@@ -225,9 +234,102 @@ def grams_block(model, Y, w_off, *, n_blocks=None):
         jnp.zeros((B, R, R), dtype),
         jnp.zeros((B,), dtype),
     )
-    _, (_, _, gram_b, ld_b) = scan_emit(phase3_step, blocked, init)
+    _, (m_f, P_f, gram_b, ld_b) = scan_emit(phase3_step, blocked, init)
     gram = jnp.sum(gram_b, axis=0)
     ld = jnp.sum(ld_b) - n_pad * jnp.log(jnp.asarray(LARGE_VAR, dtype))
+    if final_state:
+        return ld, gram, m_f[-1], P_f[-1]
+    return ld, gram
+
+
+# ---------------------------------------------------------------------------
+# steady engine: exact warmup + constant-gain late segment on dense MXU tiles
+# ---------------------------------------------------------------------------
+
+def _astype_tree(tree, dt):
+    """Cast every floating leaf of a model pytree (Fill-aware) to dtype."""
+    import jax
+
+    def cast(l):
+        if is_fill(l):
+            return Fill(jnp.asarray(l.value, dt), l.N)
+        a = jnp.asarray(l)
+        return a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else l
+
+    return jax.tree_util.tree_map(cast, tree, is_leaf=is_fill)
+
+
+def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
+                 n_blocks=None):
+    """Steady-state multi-column innovation grams (see grams_sequential).
+
+    For an all-Fill reduced model the Kalman gain sequence is
+    data-independent and converges (ops/steady.py); beyond an exact
+    `n_warmup`-step head the filtered mean of EVERY column follows the same
+    constant-matrix recursion m_t = G m_{t-1} + w_off c_w + K y_t, solved
+    per column by steady.affine_const_states — dense (B, L*D) MXU matmuls
+    plus a log-depth Kogge-Stone, no (N, D, D) batched small-matrix ops and
+    a custom VJP that re-enters the forward kernel (reverse-mode gradients
+    stay cheap and accurate). The gram of the late innovations is then ONE
+    (R, M) x (M, R) matmul against the constant innovation variance S.
+
+    The warmup grams run entirely in f64 when x64 is live (a bias in the
+    head state propagates into every late innovation); the O(1) constant
+    operators come from steady._steady_ops (already hi-precision).
+    Approximation contract = ops/steady.py: choose
+    n_warmup >~ 5 / (lambda dt); steady.suggest_warmup gives a host-side
+    recommendation. Requires fully-observed data and an all-Fill model.
+    """
+    from . import steady as sd
+
+    t = model.trans
+    assert t.forward and isinstance(model.emis, em.ScalarEmissions)
+    sd._check(model)
+    N = len(model)
+    dtype = t.x0.dtype
+    Y = jnp.asarray(Y, dtype)
+    w_off = jnp.asarray(w_off, dtype)
+    k = min(n_warmup or sd.DEFAULT_WARMUP, N)
+    if k >= N:
+        return grams_block(model, Y, w_off, n_blocks=n_blocks)
+    B_w = 64
+    while k % B_w:
+        B_w //= 2
+
+    hi = sd._hi(dtype)
+    ld_w, gram_w, m_k, _ = grams_block(
+        _astype_tree(sd._trim(model, k), hi),
+        Y[:k].astype(hi),
+        w_off.astype(hi),
+        n_blocks=B_w,
+        final_state=True,
+    )
+
+    ops = sd._steady_ops(model, dtype, N, n_warmup=k)
+    y_late = Y[k:]  # (M, R)
+    Mlen = N - k
+    G, K, c_w = ops["G"], ops["K"], ops["c_w"]
+    A0, a0, H, h, S = ops["A0"], ops["a0"], ops["H"], ops["h"], ops["S"]
+
+    # filtered means per column: m_t = G m_{t-1} + w_off c_w + K y_t
+    W = (
+        w_off[:, None, None] * c_w[None, None, :]
+        + _mT(y_late)[:, :, None] * K[None, None, :]
+    )  # (R, M, D)
+    m0 = _mT(m_k).astype(dtype)  # (R, D)
+    means = jax.vmap(
+        lambda w_, m_: sd.affine_const_states(G, w_, m_, block_len=block_len)
+    )(W, m0)  # (R, M, D)
+
+    # innovations e_t = y_t - (H (A0 m_{t-1} + a0 w_off) + h w_off)
+    g = A0.T @ H  # (D,)
+    c0 = H @ a0 + h
+    proj_prev = jnp.concatenate(
+        [(m0 @ g)[:, None], means[:, :-1, :] @ g], axis=1
+    )  # (R, M)
+    E = _mT(y_late) - proj_prev - w_off[:, None] * c0
+    gram = gram_w.astype(dtype) + (E @ _mT(E)) / S
+    ld = ld_w.astype(dtype) + Mlen * ops["logdetS"]
     return ld, gram
 
 
@@ -262,10 +364,15 @@ def marginalised_lml(ld, gram, P0, N, dtype):
     )
 
 
-def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None):
+def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None,
+                 n_warmup=None, block_len=16):
     """Marginalised lml: `model` is the reduced stochastic LGSSM, Y the
     (N, 1 + d_det) column stack [y - 0 | M] (column 0 = data), w_off the
-    offset mask, P0 the (d_det, d_det) basis-weight prior covariance."""
+    offset mask, P0 the (d_det, d_det) basis-weight prior covariance.
+
+    engine: "sequential" (ground truth), "block" (exact, parallel), or
+    "steady" (constant-gain late segment, ops/steady.py approximation
+    contract — requires an all-Fill model and fully-observed data)."""
     from ..config import precision_ctx
 
     dtype = model.trans.x0.dtype
@@ -274,6 +381,11 @@ def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None):
     with precision_ctx(model.latent_dim):
         if engine == "sequential":
             ld, gram = grams_sequential(model, Y, w_off)
+        elif engine == "steady":
+            ld, gram = grams_steady(
+                model, Y, w_off, n_warmup=n_warmup, block_len=block_len,
+                n_blocks=n_blocks,
+            )
         else:
             ld, gram = grams_block(model, Y, w_off, n_blocks=n_blocks)
         return marginalised_lml(ld, gram, P0, len(model), dtype)

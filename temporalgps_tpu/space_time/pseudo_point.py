@@ -238,15 +238,18 @@ def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
         import jax
         import jax.core as _core
 
-        if not isinstance(y_tf, _core.Tracer) and bool(jnp.isnan(y_tf).any()):
+        # NB test the reduction, not y_tf: y closed over under jit is
+        # concrete while jnp ops on it still bind to the ambient trace.
+        nan_any = jnp.isnan(y_tf).any()
+        if not isinstance(nan_any, _core.Tracer) and bool(nan_any):
             raise ValueError(
                 f"elbo(engine={engine!r}) requires fully-observed data (no "
                 "NaNs); use engine='block'/'sequential' for missing "
                 "observations"
             )
-        if isinstance(y_tf, _core.Tracer):
+        if isinstance(nan_any, _core.Tracer):
             lp = jax.lax.cond(
-                jnp.isnan(y_tf).any(),
+                nan_any,
                 lambda y_: missings_mod.logpdf_with_missings(
                     model, y_, engine="block"
                 ),
@@ -371,7 +374,8 @@ def approx_posterior_marginals(fx, y, z_r, x_r, *, engine=None,
 
         from ..ops import steady
 
-        if not isinstance(y_tf, _core.Tracer) and bool(jnp.isnan(y_tf).any()):
+        nan_any = jnp.isnan(y_tf).any()
+        if not isinstance(nan_any, _core.Tracer) and bool(nan_any):
             raise ValueError(
                 "approx_posterior_marginals(engine='steady') requires "
                 "fully-observed data (no NaNs)"

@@ -135,6 +135,66 @@ def test_basis_gradients_match_autodiff():
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s), rtol=1e-6)
 
 
+def test_basis_steady_matches_sequential():
+    """grams_steady: exact warmup + constant-gain late segment. With
+    n_warmup covering the Riccati convergence (ops/steady.py contract) the
+    lml and reverse-mode grads match the exact engines at f64."""
+    N = 2048
+    x = RegularSpacing(0.0, 0.05, N)
+    y = _data(N, 7)
+
+    def loss(p, engine, **kw):
+        s2, sc, noise = jnp.exp(p)
+        kern = s2 * Matern52() + 0.6 * Matern32().stretch(sc) + 0.3 * ApproxPeriodic(0.5, n_cos=3)
+        fx = to_sde(GP(kern))(x, noise)
+        return api.logpdf(fx, y, engine=engine, **kw)
+
+    p0 = jnp.asarray([0.1, -0.3, -1.5])
+    v_s, g_s = jax.jit(jax.value_and_grad(
+        lambda p: loss(p, "basis", sub_engine="block")))(p0)
+    v_t, g_t = jax.jit(jax.value_and_grad(
+        lambda p: loss(p, "basis", sub_engine="steady", n_warmup=512)))(p0)
+    np.testing.assert_allclose(float(v_t), float(v_s), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_s), rtol=1e-6)
+
+
+def test_basis_steady_nan_contract():
+    """Concrete NaNs raise; under jit (closed-over or traced y) a lax.cond
+    falls back to the exact block missing-data path."""
+    N = 1024
+    x = RegularSpacing(0.0, 0.05, N)
+    y = _data(N, 8).at[::7].set(jnp.nan)
+    fx = to_sde(GP(Matern52() + 0.3 * ApproxPeriodic(0.5, n_cos=2)))(x, 0.1)
+
+    with pytest.raises(ValueError, match="fully-observed"):
+        api.logpdf(fx, y, engine="basis", sub_engine="steady")
+
+    # traced-y fallback: matches the exact missing-data lml
+    lp_ref = float(api.logpdf(fx, y, engine="basis", sub_engine="block"))
+    lp_jit = float(jax.jit(
+        lambda y_: api.logpdf(fx, y_, engine="basis", sub_engine="steady",
+                              n_warmup=256)
+    )(y))
+    np.testing.assert_allclose(lp_jit, lp_ref, rtol=1e-9)
+
+    # closed-over concrete y under jit (binds to the ambient trace without
+    # being a Tracer instance — the guard must test the reduction)
+    lp_closed = float(jax.jit(
+        lambda: api.logpdf(fx, y, engine="basis", sub_engine="steady",
+                           n_warmup=256)
+    )())
+    np.testing.assert_allclose(lp_closed, lp_ref, rtol=1e-9)
+
+    # NaN-free y through the same jitted function takes the steady branch
+    y_ok = _data(N, 9)
+    lp_fast = float(jax.jit(
+        lambda y_: api.logpdf(fx, y_, engine="basis", sub_engine="steady",
+                              n_warmup=256)
+    )(y_ok))
+    lp_ok = float(api.logpdf(fx, y_ok, engine="basis", sub_engine="block"))
+    np.testing.assert_allclose(lp_fast, lp_ok, rtol=1e-8)
+
+
 def test_basis_jit_and_no_retrace():
     N = 128
     x = RegularSpacing(0.0, 0.05, N)
