@@ -341,8 +341,12 @@ def config2(partial=None):
 
 def config3(partial=None):
     """Sum kernel at state-dim 19 (Matern52 + Matern32 + ApproxPeriodic),
-    N=1M f32. The deterministic cosine blocks make this the conditioning
-    stress case; sequential is the safe default engine there."""
+    N=1M f32 — BASELINE metric: lp+grad timesteps/s at moderate state dim.
+    The deterministic cosine blocks are marginalised in closed form by the
+    basis engine (ops/basis.py); the steady sub-engine's constant-gain
+    grams give the fast lp+grad path (f32 grads proven 5e-5 of the f64
+    sequential truth on CPU — tests/test_basis_engine.py,
+    test_basis_steady_matches_sequential)."""
     partial = {} if partial is None else partial
     from temporalgps_tpu import RegularSpacing
     from temporalgps_tpu.gp import (
@@ -353,54 +357,140 @@ def config3(partial=None):
         Matern52,
         to_sde,
     )
-    from temporalgps_tpu.gp.lti_sde import build_lgssm
+    from temporalgps_tpu.gp import lti_sde as api
+    from temporalgps_tpu.gp.lti_sde import basis_setup, build_lgssm
     from temporalgps_tpu.models import lgssm as lg
+    from temporalgps_tpu.ops import steady
 
     dtype = jnp.float32
     N = 5_000 if SMOKE else 1_000_000
     x = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N)
-    kern = Matern52() + 0.6 * Matern32().stretch(0.5) + 0.3 * ApproxPeriodic(0.5)
-    fx = to_sde(GP(kern), ArrayStorage(dtype))(x, jnp.asarray(0.1, dtype))
+
+    def make_fx(p, x_):
+        s2, sc, noise = jnp.exp(p)
+        kern = (
+            s2 * Matern52()
+            + 0.6 * Matern32().stretch(sc)
+            + 0.3 * ApproxPeriodic(0.5)
+        )
+        return to_sde(GP(kern), ArrayStorage(dtype))(x_, noise)
+
+    p0 = jnp.log(jnp.asarray([1.0, 0.5, 0.1], dtype))
+    fx = make_fx(p0, x)
     model = build_lgssm(fx)
     y = jax.device_put(np.random.default_rng(0).standard_normal(N).astype(np.float32))
+    # host-side warmup choice (steady approximation contract, ops/steady.py)
+    k = int(steady.suggest_warmup(basis_setup(fx)[0]))
+    partial["n_warmup"] = k
 
-    results = {}
-    vals = {}
-    for engine, iters in [("sequential", 2), ("lti", 3 if SMOKE else 10)]:
-        try:
-            f = jax.jit(lambda y_, e=engine: lg.logpdf(model, y_, engine=e))
-            dt, cs, _ = timed(f, y, iters=iters)
-            vals[engine] = float(f(y))
-            results[engine] = dt
-            partial[f"{engine}_ms"] = round(dt * 1e3, 2)
-            log(
-                f"c3 D={model.latent_dim} N={N} logpdf[{engine}]: {dt*1e3:.2f} ms "
-                f"({N/dt/1e6:.1f} Msteps/s) compile {cs:.0f}s val={vals[engine]:.1f}"
-            )
-        except Exception as e:  # noqa: BLE001 — per-engine resilience
-            log(f"c3 [{engine}] failed: {type(e).__name__}: {e}")
-    if "sequential" not in results:
-        raise RuntimeError("c3 sequential engine failed")
-    dt_seq = results["sequential"]
-    best_engine = min(results, key=results.get)
-    dt_best = results[best_engine]
-    rel = (
-        abs(vals[best_engine] - vals["sequential"]) / abs(vals["sequential"])
-        if best_engine != "sequential"
-        else 0.0
+    # sequential yardstick: logpdf on the full D=19 state (safe default).
+    f_seq = jax.jit(lambda y_: lg.logpdf(model, y_, engine="sequential"))
+    dt_seq, cs, _ = timed(f_seq, y, iters=2)
+    val_seq = float(f_seq(y))
+    partial["sequential_ms"] = round(dt_seq * 1e3, 2)
+    log(
+        f"c3 D={model.latent_dim} N={N} logpdf[sequential]: {dt_seq*1e3:.2f} ms "
+        f"({N/dt_seq/1e6:.2f} Msteps/s) compile {cs:.0f}s val={val_seq:.1f}"
     )
-    log(f"c3 best={best_engine} rel-vs-seq={rel:.2e}")
+
+    # basis/steady logpdf (reduced stochastic state, constant-gain grams).
+    f_fast = jax.jit(
+        lambda y_: api.logpdf(fx, y_, engine="basis", sub_engine="steady", n_warmup=k)
+    )
+    dt_f, cs, _ = timed(f_fast, y, iters=3 if SMOKE else 20)
+    val_f = float(f_fast(y))
+    rel = abs(val_f - val_seq) / abs(val_seq)
+    partial["logpdf_ms"] = round(dt_f * 1e3, 2)
+    log(
+        f"c3 logpdf[basis/steady]: {dt_f*1e3:.2f} ms ({N/dt_f/1e6:.1f} Msteps/s) "
+        f"compile {cs:.0f}s val={val_f:.1f} rel-vs-seq={rel:.2e}"
+    )
     assert rel < 5e-3, "c3 engine mismatch"
+
+    # lp+grad through the basis/steady engine (3 hyperparameters).
+    def loss(p, y_, x_=x, sub="steady", kw=None):
+        return api.logpdf(
+            make_fx(p, x_), y_, engine="basis", sub_engine=sub, **(kw or {"n_warmup": k})
+        )
+
+    g_fast = jax.jit(lambda p, y_: jax.value_and_grad(loss)(p, y_)[1][0])
+    dt_g, cs, _ = timed(g_fast, p0, y, iters=3 if SMOKE else 10)
+    steps_per_sec = N / dt_g
+    partial["lp_grad_ms"] = round(dt_g * 1e3, 2)
+    partial["lp_grad_msteps_per_s"] = round(steps_per_sec / 1e6, 1)
+    log(
+        f"c3 lp+grad[basis/steady] N={N}: {dt_g*1e3:.2f} ms "
+        f"({steps_per_sec/1e6:.1f} Msteps/s) compile {cs:.0f}s"
+    )
+
+    # baseline stand-in: sequential f32 lp+grad on the full state at N=20k
+    # (timing only — f32 reverse-mode through the full det-block state is
+    # ~12% off the f64 truth at N=2k, measured; the basis/steady grad is
+    # the only correct f32 path for this family).
+    N_s = 2_000 if SMOKE else 20_000
+    x_s = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N_s)
+    y_s = y[:N_s]
+    g_seq = jax.jit(
+        lambda p, y_: jax.value_and_grad(
+            lambda q: lg.logpdf(build_lgssm(make_fx(q, x_s)), y_, engine="sequential")
+        )(p)[1][0]
+    )
+    dt_gs, _, _ = timed(g_seq, p0, y_s, iters=2)
+    seq_steps_per_sec = N_s / dt_gs
+    log(
+        f"c3 seq lp+grad N={N_s}: {dt_gs*1e3:.2f} ms "
+        f"({seq_steps_per_sec/1e6:.3f} Msteps/s)"
+    )
+
+    # grad cross-check: f32 basis/steady vs the f64 basis/steady oracle at
+    # N=20k (f64 is emulated on TPU but the reduced-state steady pipeline
+    # keeps it cheap). CPU f64 oracle agreement: 2.5e-5 componentwise
+    # (tests/test_basis_engine.py + probes).
+    kws = min(k, N_s // 2)
+
+    def loss64(p):
+        s2, sc, noise = jnp.exp(p)
+        kern = (
+            s2 * Matern52()
+            + 0.6 * Matern32().stretch(sc)
+            + 0.3 * ApproxPeriodic(0.5)
+        )
+        x64 = RegularSpacing(
+            jnp.asarray(0.0, jnp.float64), jnp.asarray(0.001, jnp.float64), N_s
+        )
+        fx64 = to_sde(GP(kern), ArrayStorage(jnp.float64))(x64, noise)
+        return api.logpdf(
+            fx64, y_s.astype(jnp.float64), engine="basis",
+            sub_engine="steady", n_warmup=kws,
+        )
+
+    g_ref = np.asarray(
+        jax.jit(jax.grad(loss64))(p0.astype(jnp.float64))
+    )
+    g_bs = np.asarray(
+        jax.jit(
+            jax.grad(lambda q: loss(q, y_s, x_s, "steady", {"n_warmup": kws}))
+        )(p0)
+    )
+    grel = float(
+        np.max(np.abs(g_bs.astype(np.float64) - g_ref) / (np.abs(g_ref) + 1e-9))
+    )
+    log(f"c3 grad cross-check vs f64 oracle: rel={grel:.2e} g32={g_bs} g64={g_ref}")
+    assert grel < 1e-3, "c3 gradient mismatch"
+
     return {
-        "value": round(N / dt_best, 1),
-        "unit": "logpdf timesteps/s",
-        "vs_baseline": round(dt_seq / dt_best, 2),
+        "value": round(steps_per_sec, 1),
+        "unit": "lp+grad timesteps/s",
+        "vs_baseline": round(steps_per_sec / seq_steps_per_sec, 2),
         "detail": {
-            "engine": best_engine,
+            "engine": "basis/steady",
             "state_dim": int(model.latent_dim),
-            "best_ms": round(dt_best * 1e3, 2),
-            "sequential_ms": round(dt_seq * 1e3, 2),
+            "reduced_state_dim": int(basis_setup(fx)[0].latent_dim),
+            "lp_grad_ms": round(dt_g * 1e3, 2),
+            "logpdf_ms": round(dt_f * 1e3, 2),
+            "sequential_logpdf_ms": round(dt_seq * 1e3, 2),
             "value_rel_vs_seq": float(f"{rel:.2e}"),
+            "grad_rel_vs_f64_oracle_20k": float(f"{grel:.2e}"),
         },
     }
 

@@ -69,7 +69,15 @@ def host_cpu_cache_tag() -> str:
     type cache dirs sidestep it. Hashes the full /proc/cpuinfo feature
     surface plus the machine arch — x86 uses 'flags', aarch64 uses
     'Features'; hashing everything keeps unexpected formats distinct rather
-    than silently colliding on an empty string."""
+    than silently colliding on an empty string.
+
+    The boot id is mixed in too: XLA's AOT target features include
+    LLVM-derived tuning preferences (prefer-no-scatter/gather) that two
+    hosts with byte-identical /proc/cpuinfo can disagree on (observed
+    round 4: a same-fingerprint stale entry loaded with SIGILL warnings
+    and broke a bench gradient cross-check). The CPU cache only needs to
+    survive within one VM boot (pre-warm run -> driver run); per-boot
+    dirs make cross-host poisoning structurally impossible."""
     import hashlib
     import platform
 
@@ -82,4 +90,9 @@ def host_cpu_cache_tag() -> str:
         blob = platform.machine() + "".join(sorted(set(lines)))
     except OSError:
         blob = platform.machine() + platform.processor()
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            blob += f.read().strip()
+    except OSError:
+        pass
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
