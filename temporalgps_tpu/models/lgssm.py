@@ -2,15 +2,27 @@
 
 Mirror of the reference's `LGSSM` layer (reference: src/models/lgssm.jl),
 re-designed for XLA: every driver is a pure function over pytrees, executed by
-one of three interchangeable engines:
+one of the interchangeable engines:
 
   * "sequential" — `lax.scan` over time; the trustworthy reference engine,
     mirroring the reference's `scan_emit` loop step-for-step.
   * "parallel"   — Sarkka-style parallel prefix scans on
     `lax.associative_scan` (ops/assoc.py); O(log N) depth.
   * "block"      — two-phase block-parallel engine (ops/block.py); the TPU
-    speed-of-light path: vmapped within-block scans + cross-block prefix
-    combine, ~O(1) HBM passes.
+    fast exact path: vmapped within-block scans + cross-block prefix
+    combine, ~O(1) HBM passes, Pallas phase kernels at small D.
+  * "sqrt"       — square-root (Cholesky-factor) block engine
+    (ops/sqrt.py); conditioning-proof at large D.
+  * "lti"        — time-invariant constant-operator pipeline (ops/lti.py;
+    component-major layout at moderate D, ops/lti_cm.py); exact, f32
+    reverse-mode discouraged (see the engine warning).
+  * "steady"     — steady-state constant-gain engine (ops/steady.py);
+    the fastest fwd+grad path under its warmup approximation contract.
+
+Grid models add "kron" (space_time/kron.py, factored Kronecker filter);
+kernels with deterministic components route through the basis engine
+(ops/basis.py) at the gp API layer. Engine choice is a numerics contract,
+not just a speed knob — see docs/ROADMAP.md for the measured matrix.
 
 The RTS smoother is represented, exactly as in the reference, as *another
 LGSSM* with reversed ordering and inverted dynamics whose x0 is the final

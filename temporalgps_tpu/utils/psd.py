@@ -190,7 +190,11 @@ def _tri_solve_scan_impl(L, B, D: int, lower: bool, trans: bool):
         b_i = jnp.sum(jnp.where((ar == i)[:, None], B, 0.0), axis=-2)
         s = b_i - jnp.einsum("...k,...kj->...j", row_m, X)
         diag = jnp.sum(jnp.where(ar == i, row, 0.0), axis=-1)
-        x_i = s / diag[..., None]
+        # rank-deficient L (zeroed columns from the guarded _chol_compact on
+        # semidefinite input) gets a zero solution row, not Inf/NaN —
+        # mirrors the d>0 safe-reciprocal in _chol_scan_impl.
+        inv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+        x_i = s * inv[..., None]
         X = X + x_i[..., None, :] * (ar == i)[..., :, None]
         return X, None
 
