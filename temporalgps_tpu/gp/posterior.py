@@ -253,6 +253,23 @@ def marginals(fxp: FinitePosteriorLTISDE, *, engine=None):
         return _destructure(fxp.x, m), _destructure(fxp.x, v)
     x_sorted, noise_all, y_all, tr_idx, pr_idx = _build_inference_data(fp, fxp.x)
     noise_pred_full = _pred_noise_full(pr_idx, _flat_len(x_sorted), fxp.noise, dtype)
+    if _is_grid(x_sorted):
+        # Prediction slices on the merged grid are whole-row missing steps
+        # (y = NaN -> large-variance fill), which the factored kron filter
+        # already handles — so new-times prediction keeps the factored
+        # engine instead of re-entering the materialised D=Ns*Dt path the
+        # kron engine exists to avoid.
+        from .lti_sde import _route_kron
+
+        fx_merged = fp.prior(x_sorted, noise_all)
+        if _route_kron(fx_merged, engine):
+            from ..space_time import grids as _grids
+            from ..space_time import kron
+
+            noise_pr_tf = _grids.noise_var_to_time_form(x_sorted, noise_pred_full)
+            m, v = kron.posterior_marginals(fx_merged, y_all, noise_pred=noise_pr_tf)
+            idx = jnp.asarray(pr_idx)
+            return _destructure(x_sorted, m)[idx], _destructure(x_sorted, v)[idx]
     post = _posterior_model(fp, x_sorted, noise_all, y_all, noise_pred_full, engine=engine)
     m, v = lgssm_mod.marginals_diag(post, engine=engine)
     idx = jnp.asarray(pr_idx)

@@ -436,3 +436,35 @@ def test_kron_posterior_marginals_match_sequential(rng):
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(v2_k), np.asarray(v2_ref),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_kron_posterior_marginals_new_times(rng):
+    """Prediction at NEW time points on the grid routes through the
+    factored kron filter (merged grid: prediction slices are whole-row
+    missing steps) and matches the materialised sequential path
+    (reference shape family: bench/lgssm.jl:69-160)."""
+    from temporalgps_tpu.gp import posterior as gpp
+
+    ns, nt = 6, 19
+    r = jnp.asarray(np.linspace(-2, 2, ns))
+    x = RectilinearGrid(r, RegularSpacing(0.0, 0.05, nt))
+    k = Separable(EQ(), Matern52())
+    fx = to_sde(GP(k))(x, 0.3)
+    y = rng.standard_normal(ns * nt)
+    y[[3, 17]] = np.nan
+    y = jnp.asarray(y)
+    post = gpp.posterior(fx, y)
+
+    # new times interleaved with + extrapolating beyond the training grid
+    t_new = jnp.asarray(np.concatenate([
+        np.linspace(0.012, 0.71, 11),
+        np.array([1.1, 1.37]),
+    ]))
+    x_new = RectilinearGrid(r, t_new)
+    fxp = post(x_new, 0.07)
+    m_ref, v_ref = gpp.marginals(fxp, engine="sequential")
+    m_k, v_k = gpp.marginals(fxp, engine="kron")
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_ref),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=1e-7, atol=1e-8)
