@@ -731,6 +731,9 @@ def main():
         ("c4_exact_space_time_50x1000", config4, 120.0),
         ("c5_dtc_elbo_learning", config5, 420.0),
     ]
+    only = {s for s in os.environ.get("TGPS_BENCH_ONLY", "").split(",") if s}
+    if only:  # builder-side subset runs (cache prewarm / single-config probes)
+        plan = [p for p in plan if any(p[0].startswith(o) for o in only)]
     for name, _, _ in plan:
         _CONFIGS[name] = None  # placeholder so an emergency dump lists it
     for name, fn, est_cost in plan:

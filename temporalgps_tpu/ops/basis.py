@@ -289,7 +289,7 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     dtype = t.x0.dtype
     Y = jnp.asarray(Y, dtype)
     w_off = jnp.asarray(w_off, dtype)
-    k = min(n_warmup or sd.DEFAULT_WARMUP, N)
+    k = sd._round_warmup(n_warmup or sd.DEFAULT_WARMUP, N, base=64)
     if k >= N:
         return grams_block(model, Y, w_off, n_blocks=n_blocks)
     B_w = 64
@@ -311,24 +311,24 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     G, K, c_w = ops["G"], ops["K"], ops["c_w"]
     A0, a0, H, h, S = ops["A0"], ops["a0"], ops["H"], ops["h"], ops["S"]
 
-    # filtered means per column: m_t = G m_{t-1} + w_off c_w + K y_t
+    # filtered means per column: m_t = G m_{t-1} + w_off c_w + K y_t,
+    # all R columns as ONE matrix-state recursion (trailing-lane layout —
+    # vmapping the per-column kernel lowers pathologically on TPU).
     W = (
-        w_off[:, None, None] * c_w[None, None, :]
-        + _mT(y_late)[:, :, None] * K[None, None, :]
-    )  # (R, M, D)
-    m0 = _mT(m_k).astype(dtype)  # (R, D)
-    means = jax.vmap(
-        lambda w_, m_: sd.affine_const_states(G, w_, m_, block_len=block_len)
-    )(W, m0)  # (R, M, D)
+        c_w[None, :, None] * w_off[None, None, :]
+        + K[None, :, None] * y_late[:, None, :]
+    )  # (M, D, R)
+    m0 = m_k.astype(dtype)  # (D, R)
+    means = sd.affine_const_states_multi(G, W, m0, block_len=block_len)
 
     # innovations e_t = y_t - (H (A0 m_{t-1} + a0 w_off) + h w_off)
     g = A0.T @ H  # (D,)
     c0 = H @ a0 + h
     proj_prev = jnp.concatenate(
-        [(m0 @ g)[:, None], means[:, :-1, :] @ g], axis=1
-    )  # (R, M)
-    E = _mT(y_late) - proj_prev - w_off[:, None] * c0
-    gram = gram_w.astype(dtype) + (E @ _mT(E)) / S
+        [(g @ m0)[None, :], jnp.einsum("d,mdr->mr", g, means[:-1])], axis=0
+    )  # (M, R)
+    E = y_late - proj_prev - c0 * w_off[None, :]
+    gram = gram_w.astype(dtype) + (E.T @ E) / S
     ld = ld_w.astype(dtype) + Mlen * ops["logdetS"]
     return ld, gram
 

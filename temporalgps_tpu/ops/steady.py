@@ -51,6 +51,21 @@ from . import assoc, lti
 
 DEFAULT_WARMUP = 512
 
+
+def _round_warmup(k, N, base=16):
+    """Round a warmup length UP to a multiple of `base` (capped at N).
+
+    The exact-warmup segment is block-filtered with n_blocks chosen by
+    halving until it divides k — an ODD k (e.g. from suggest_warmup's
+    spectral bound) collapses that to ONE block, i.e. a k-iteration
+    sequential scan (measured: 13339-step f64 scan on TPU inside the c3
+    basis/steady logpdf = tens of seconds). Rounding up only grows the
+    exactly-filtered head, so the approximation contract is unaffected.
+    `base` matches the caller's warmup block width: 16 for the steady /
+    sharded-steady filters, 64 for basis.grams_steady."""
+    return min(-(-int(k) // base) * base, int(N))
+
+
 # Override for the warmup covariance-pass precision mode: None picks by
 # state dim ("full" f64 for D <= 8, "chain" above — see _filter_steady);
 # set to "full" / "chain" / False to force. "full" buys ~4e-5-rel f32
@@ -94,7 +109,7 @@ def suggest_warmup(model, *, tol=1e-10) -> int:
             f"transition spectral radius {rho} >= 1: not a stable LTI model"
         )
     k = int(np.ceil(np.log(tol) / (2.0 * np.log(rho))))
-    return max(64, min(k, len(model)))
+    return max(64, _round_warmup(k, len(model), base=64))
 
 
 def _trim(model, k):
@@ -231,6 +246,88 @@ def _acs_bwd(block_len, res, mbar):
 _acs.defvjp(_acs_fwd, _acs_bwd)
 
 
+def affine_const_states_multi(G, W, m0, *, block_len=16):
+    """Matrix-state recursion m_t = G m_{t-1} + W_t on (D, R) states.
+
+    W: (M, D, R), m0: (D, R) -> (M, D, R). Same dense schedule as
+    `affine_const_states` with the R columns carried in trailing lanes:
+    every matmul gets R-fold denser vector tiles than vmapping the (M, D)
+    kernel at small D, and the vmapped-custom-vjp lowering (measured
+    pathological on TPU: 35 s at M=1M, R=15, D=5 vs ~ms for one unbatched
+    call) is avoided entirely. Reverse mode is the same flipped recursion
+    with G^T (custom VJP re-enters this kernel)."""
+    return _acsm(G, W, m0, block_len)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _acsm(G, W, m0, block_len):
+    return _acsm_impl(G, W, m0, block_len)
+
+
+def _acsm_impl(G, W, m0, block_len):
+    M, D, R = W.shape
+    dtype = W.dtype
+    L = min(block_len, M)
+    B = -(-M // L)  # ceil
+    pad = B * L - M
+    if pad:
+        W = jnp.concatenate([W, jnp.zeros((pad, D, R), dtype)], axis=0)
+    wb = W.reshape(B, L * D, R)
+
+    # G^0..G^L  (L+1, D, D)
+    def pow_step(P, _):
+        Pn = G @ P
+        return Pn, Pn
+
+    _, Gp_tail = jax.lax.scan(pow_step, jnp.eye(D, dtype=dtype), None, length=L)
+    Gp = jnp.concatenate([jnp.eye(D, dtype=dtype)[None], Gp_tail], axis=0)
+
+    # T[l, i] = G^(l-i) for i <= l else 0 — (L*D, L*D) block-Toeplitz.
+    li = jnp.arange(L)
+    idx = li[:, None] - li[None, :]
+    Tmat = jnp.where(
+        (idx >= 0)[:, :, None, None], Gp[jnp.clip(idx, 0, L)], 0.0
+    )
+    T2 = Tmat.transpose(0, 2, 1, 3).reshape(L * D, L * D)
+    Wc = jnp.einsum("kj,bjr->bkr", T2, wb).reshape(B, L, D, R)
+
+    # Block-start states: Kogge-Stone on (B, D, R) with G^L left-applied.
+    GL = Gp[L]
+    h = Wc[:, L - 1]  # (B, D, R)
+    h = h.at[0].add(GL @ m0)
+    P_lev = GL
+    p = h
+    shift = 1
+    while shift < B:
+        p = p.at[shift:].add(jnp.einsum("de,ber->bdr", P_lev, p[:-shift]))
+        P_lev = P_lev @ P_lev
+        shift *= 2
+    m_start = jnp.concatenate([m0[None], p[:-1]], axis=0)  # (B, D, R)
+
+    # m[b, l] = G^(l+1) m_start[b] + Wc[b, l]
+    lead = jnp.einsum("lde,ber->bldr", Gp[1:], m_start)
+    return (lead + Wc).reshape(B * L, D, R)[:M]
+
+
+def _acsm_fwd(G, W, m0, block_len):
+    m = _acsm_impl(G, W, m0, block_len)
+    return m, (G, W, m0, m)
+
+
+def _acsm_bwd(block_len, res, mbar):
+    G, W, m0, m = res
+    lam = jnp.flip(
+        _acsm_impl(G.T, jnp.flip(mbar, 0), jnp.zeros_like(m0), block_len), 0
+    )
+    m_prev = jnp.concatenate([m0[None], m[:-1]], axis=0)
+    G_bar = jnp.einsum("mdr,mer->de", lam, m_prev)
+    m0_bar = G.T @ lam[0]
+    return G_bar, lam, m0_bar
+
+
+_acsm.defvjp(_acsm_fwd, _acsm_bwd)
+
+
 def _steady_ops(model, dtype, N, n_warmup=None):
     """Constant late-segment operators from the converged covariance.
 
@@ -355,7 +452,7 @@ def logpdf(model, y, *, n_warmup=None, n_blocks=None, block_len=16):
     beyond the first n_warmup (default 512) exactly-filtered steps."""
     _check(model)
     N = len(model)
-    k = min(n_warmup or DEFAULT_WARMUP, N)
+    k = _round_warmup(n_warmup or DEFAULT_WARMUP, N)
     if k >= N:
         return lti.logpdf(model, y, n_blocks=n_blocks)
     f = _filter_steady(model, y, k, n_blocks=n_blocks,
@@ -389,7 +486,7 @@ def latent_marginals(model, *, n_warmup=None, block_len=16):
 
     _check(model)
     N = len(model)
-    k = min(n_warmup or DEFAULT_WARMUP, N)
+    k = _round_warmup(n_warmup or DEFAULT_WARMUP, N)
     dtype = model.trans.x0.dtype
     D = model.latent_dim
     A0 = model.trans.As.value.astype(dtype)
@@ -450,7 +547,7 @@ def marginals_diag(model, *, n_warmup=None):
     3.6 GB of HBM."""
     _check(model)
     N = len(model)
-    k = min(n_warmup or DEFAULT_WARMUP, N)
+    k = _round_warmup(n_warmup or DEFAULT_WARMUP, N)
     dtype = model.trans.x0.dtype
     D = model.latent_dim
     A0 = model.trans.As.value.astype(dtype)
@@ -552,7 +649,7 @@ def posterior_marginals_diag(model, y, *, emis=None, n_warmup=None,
 
     _check(model)
     N = len(model)
-    k = min(n_warmup or DEFAULT_WARMUP, N)
+    k = _round_warmup(n_warmup or DEFAULT_WARMUP, N)
     emis_use = emis if emis is not None else model.emis
     if N <= max(2 * k, 64):
         # small-N: exact materialised smoother

@@ -577,7 +577,11 @@ def sharded_steady_logpdf(
     _check_divisible(N, mesh, time_axis)
     n_dev = mesh.shape[time_axis]
     n_loc = N // n_dev
-    k = min(n_warmup or steady.DEFAULT_WARMUP, N)
+    k = steady._round_warmup(n_warmup or steady.DEFAULT_WARMUP, N)
+    if k >= n_loc and n_warmup is not None and n_warmup < n_loc:
+        # honor an explicit warmup that rounding would push past the
+        # per-chip chunk (B_w degrades gracefully via the halving loop)
+        k = int(n_warmup)
     if k >= n_loc:
         raise ValueError(
             f"per-chip chunk length {n_loc} must exceed the warmup {k}; "
