@@ -394,8 +394,14 @@ def config3(partial=None):
     )
 
     # basis/steady logpdf (reduced stochastic state, constant-gain grams).
+    # Bench data is dense, so skip compiling the traced-NaN lax.cond
+    # fallback branch (a full-N block-grams graph: ~2x compile, and its
+    # reverse pass is the expensive path).
     f_fast = jax.jit(
-        lambda y_: api.logpdf(fx, y_, engine="basis", sub_engine="steady", n_warmup=k)
+        lambda y_: api.logpdf(
+            fx, y_, engine="basis", sub_engine="steady", n_warmup=k,
+            nan_fallback=False,
+        )
     )
     dt_f, cs, _ = timed(f_fast, y, iters=3 if SMOKE else 20)
     val_f = float(f_fast(y))
@@ -410,7 +416,8 @@ def config3(partial=None):
     # lp+grad through the basis/steady engine (3 hyperparameters).
     def loss(p, y_, x_=x, sub="steady", kw=None):
         return api.logpdf(
-            make_fx(p, x_), y_, engine="basis", sub_engine=sub, **(kw or {"n_warmup": k})
+            make_fx(p, x_), y_, engine="basis", sub_engine=sub,
+            **(kw or {"n_warmup": k, "nan_fallback": False})
         )
 
     g_fast = jax.jit(lambda p, y_: jax.value_and_grad(loss)(p, y_)[1][0])
@@ -461,7 +468,7 @@ def config3(partial=None):
         fx64 = to_sde(GP(kern), ArrayStorage(jnp.float64))(x64, noise)
         return api.logpdf(
             fx64, y_s.astype(jnp.float64), engine="basis",
-            sub_engine="steady", n_warmup=kws,
+            sub_engine="steady", n_warmup=kws, nan_fallback=False,
         )
 
     g_ref = np.asarray(
@@ -469,7 +476,10 @@ def config3(partial=None):
     )
     g_bs = np.asarray(
         jax.jit(
-            jax.grad(lambda q: loss(q, y_s, x_s, "steady", {"n_warmup": kws}))
+            jax.grad(lambda q: loss(
+                q, y_s, x_s, "steady",
+                {"n_warmup": kws, "nan_fallback": False},
+            ))
         )(p0)
     )
     grel = float(

@@ -308,24 +308,33 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     ops = sd._steady_ops(model, dtype, N, n_warmup=k)
     y_late = Y[k:]  # (M, R)
     Mlen = N - k
+    R = Y.shape[-1]
+    D = model.latent_dim
     G, K, c_w = ops["G"], ops["K"], ops["c_w"]
     A0, a0, H, h, S = ops["A0"], ops["a0"], ops["H"], ops["h"], ops["S"]
 
-    # filtered means per column: m_t = G m_{t-1} + w_off c_w + K y_t,
-    # all R columns as ONE matrix-state recursion (trailing-lane layout —
-    # vmapping the per-column kernel lowers pathologically on TPU).
-    W = (
-        c_w[None, :, None] * w_off[None, None, :]
-        + K[None, :, None] * y_late[:, None, :]
-    )  # (M, D, R)
+    # filtered means per column: m_t = G m_{t-1} + w_off c_w + K y_t, all R
+    # columns as ONE flat (R*D)-state recursion with kron(I_R, G) — see
+    # steady.affine_const_states_multi. Everything N-sized stays in flat
+    # (M, R) / (M, R*D) layouts: trailing (D, R) tiles pad ~14-41x under
+    # TPU T(8,128) tiling (measured: a 165 GB reverse-mode HBM blowup).
+    I_R = jnp.eye(R, dtype=dtype)
+    GF = jnp.kron(I_R, G)  # (R*D, R*D) block-diagonal
+    # W_flat[m, r*D+d] = c_w[d] w_off[r] + K[d] y[m, r]
+    WF = y_late @ jnp.kron(I_R, K[:, None]).T + (
+        w_off[:, None] * c_w[None, :]
+    ).reshape(-1)[None, :]  # (M, R*D)
     m0 = m_k.astype(dtype)  # (D, R)
-    means = sd.affine_const_states_multi(G, W, m0, block_len=block_len)
+    meansF = sd.affine_const_states(
+        GF, WF, m0.T.reshape(-1), block_len=block_len
+    )  # (M, R*D)
 
     # innovations e_t = y_t - (H (A0 m_{t-1} + a0 w_off) + h w_off)
     g = A0.T @ H  # (D,)
     c0 = H @ a0 + h
+    Zg = jnp.kron(I_R, g[:, None])  # (R*D, R): flat means -> per-column g'm
     proj_prev = jnp.concatenate(
-        [(g @ m0)[None, :], jnp.einsum("d,mdr->mr", g, means[:-1])], axis=0
+        [(g @ m0)[None, :], meansF[:-1] @ Zg], axis=0
     )  # (M, R)
     E = y_late - proj_prev - c0 * w_off[None, :]
     gram = gram_w.astype(dtype) + (E.T @ E) / S

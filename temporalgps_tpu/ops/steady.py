@@ -249,83 +249,23 @@ _acs.defvjp(_acs_fwd, _acs_bwd)
 def affine_const_states_multi(G, W, m0, *, block_len=16):
     """Matrix-state recursion m_t = G m_{t-1} + W_t on (D, R) states.
 
-    W: (M, D, R), m0: (D, R) -> (M, D, R). Same dense schedule as
-    `affine_const_states` with the R columns carried in trailing lanes:
-    every matmul gets R-fold denser vector tiles than vmapping the (M, D)
-    kernel at small D, and the vmapped-custom-vjp lowering (measured
-    pathological on TPU: 35 s at M=1M, R=15, D=5 vs ~ms for one unbatched
-    call) is avoided entirely. Reverse mode is the same flipped recursion
-    with G^T (custom VJP re-enters this kernel)."""
-    return _acsm(G, W, m0, block_len)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _acsm(G, W, m0, block_len):
-    return _acsm_impl(G, W, m0, block_len)
-
-
-def _acsm_impl(G, W, m0, block_len):
+    W: (M, D, R), m0: (D, R) -> (M, D, R). Lifted to ONE flat (R*D)-state
+    vector recursion with the block-diagonal kron(I_R, G) and solved by
+    `affine_const_states`: the R columns ride in the lane dimension of
+    every dense matmul. A flat (M, R*D) layout pads ~1.1-1.7x on TPU where
+    trailing (D, R) tiles pad ~14-41x (T(8,128) tiling of 5x15 blocks —
+    measured as a 165 GB reverse-mode HBM blowup at M=1e6), and the
+    vmapped-custom-vjp lowering (measured pathological on TPU: 35 s at
+    M=1M, R=15, D=5 vs ~ms for one unbatched call) is avoided entirely.
+    Flat index is column-major (column r's state at [r*D:(r+1)*D]); hot
+    callers should build the flat operands directly to keep (M, D, R)
+    arrays out of the graph entirely (ops/basis.grams_steady does)."""
     M, D, R = W.shape
-    dtype = W.dtype
-    L = min(block_len, M)
-    B = -(-M // L)  # ceil
-    pad = B * L - M
-    if pad:
-        W = jnp.concatenate([W, jnp.zeros((pad, D, R), dtype)], axis=0)
-    wb = W.reshape(B, L * D, R)
-
-    # G^0..G^L  (L+1, D, D)
-    def pow_step(P, _):
-        Pn = G @ P
-        return Pn, Pn
-
-    _, Gp_tail = jax.lax.scan(pow_step, jnp.eye(D, dtype=dtype), None, length=L)
-    Gp = jnp.concatenate([jnp.eye(D, dtype=dtype)[None], Gp_tail], axis=0)
-
-    # T[l, i] = G^(l-i) for i <= l else 0 — (L*D, L*D) block-Toeplitz.
-    li = jnp.arange(L)
-    idx = li[:, None] - li[None, :]
-    Tmat = jnp.where(
-        (idx >= 0)[:, :, None, None], Gp[jnp.clip(idx, 0, L)], 0.0
-    )
-    T2 = Tmat.transpose(0, 2, 1, 3).reshape(L * D, L * D)
-    Wc = jnp.einsum("kj,bjr->bkr", T2, wb).reshape(B, L, D, R)
-
-    # Block-start states: Kogge-Stone on (B, D, R) with G^L left-applied.
-    GL = Gp[L]
-    h = Wc[:, L - 1]  # (B, D, R)
-    h = h.at[0].add(GL @ m0)
-    P_lev = GL
-    p = h
-    shift = 1
-    while shift < B:
-        p = p.at[shift:].add(jnp.einsum("de,ber->bdr", P_lev, p[:-shift]))
-        P_lev = P_lev @ P_lev
-        shift *= 2
-    m_start = jnp.concatenate([m0[None], p[:-1]], axis=0)  # (B, D, R)
-
-    # m[b, l] = G^(l+1) m_start[b] + Wc[b, l]
-    lead = jnp.einsum("lde,ber->bldr", Gp[1:], m_start)
-    return (lead + Wc).reshape(B * L, D, R)[:M]
-
-
-def _acsm_fwd(G, W, m0, block_len):
-    m = _acsm_impl(G, W, m0, block_len)
-    return m, (G, W, m0, m)
-
-
-def _acsm_bwd(block_len, res, mbar):
-    G, W, m0, m = res
-    lam = jnp.flip(
-        _acsm_impl(G.T, jnp.flip(mbar, 0), jnp.zeros_like(m0), block_len), 0
-    )
-    m_prev = jnp.concatenate([m0[None], m[:-1]], axis=0)
-    G_bar = jnp.einsum("mdr,mer->de", lam, m_prev)
-    m0_bar = G.T @ lam[0]
-    return G_bar, lam, m0_bar
-
-
-_acsm.defvjp(_acsm_fwd, _acsm_bwd)
+    GF = jnp.kron(jnp.eye(R, dtype=G.dtype), G)
+    WF = jnp.swapaxes(W, 1, 2).reshape(M, R * D)
+    m0F = m0.T.reshape(R * D)
+    out = affine_const_states(GF, WF, m0F, block_len=block_len)
+    return jnp.swapaxes(out.reshape(M, R, D), 1, 2)
 
 
 def _steady_ops(model, dtype, N, n_warmup=None):
