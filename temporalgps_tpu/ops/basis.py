@@ -191,7 +191,10 @@ def grams_block(model, Y, w_off, *, n_blocks=None, final_state=False):
         elem = _step_element_multi(sl, w_off, D, dtype)
         return None, _combine_filter_multi(carry, elem)
 
-    if D > 8:
+    # Multi-column steps hold ~10-20 (L, B, D, R)/(L, B, R, R) residuals in
+    # reverse mode, each paying the 14-41x T(8,128) trailing-tile padding
+    # tax at small D, R; remat keeps only the scan carries.
+    if D > 8 or R > 1:
         phase1_step = jax.checkpoint(phase1_step)
     _, agg = scan_emit(phase1_step, blocked, _identity_element_multi(B, D, R, dtype))
 
@@ -226,7 +229,7 @@ def grams_block(model, Y, w_off, *, n_blocks=None, final_state=False):
         P = psd.symmetrize((I - K[..., :, None] * H[..., None, :]) @ P)
         return None, (m, P, gram, ld)
 
-    if D > 8:
+    if D > 8 or R > 1:
         phase3_step = jax.checkpoint(phase3_step)
     init = (
         starts_m,
