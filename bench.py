@@ -379,8 +379,12 @@ def config3(partial=None):
     fx = make_fx(p0, x)
     model = build_lgssm(fx)
     y = jax.device_put(np.random.default_rng(0).standard_normal(N).astype(np.float32))
-    # host-side warmup choice (steady approximation contract, ops/steady.py)
-    k = int(steady.suggest_warmup(basis_setup(fx)[0]))
+    # host-side warmup choice (steady approximation contract, ops/steady.py).
+    # tol=1e-6 keeps the warmup-truncation error orders below the f32
+    # pipeline floor (~1e-5) and the 5e-3 value gate while shrinking the
+    # f64-emulated exact head ~40% vs the 1e-10 default (the head dominates
+    # both runtime and cold-compile time at this shape).
+    k = int(steady.suggest_warmup(basis_setup(fx)[0], tol=1e-6))
     partial["n_warmup"] = k
 
     # sequential yardstick: logpdf on the full D=19 state (safe default).
@@ -449,11 +453,15 @@ def config3(partial=None):
         f"({seq_steps_per_sec/1e6:.3f} Msteps/s)"
     )
 
-    # grad cross-check: f32 basis/steady vs the f64 basis/steady oracle at
-    # N=20k (f64 is emulated on TPU but the reduced-state steady pipeline
-    # keeps it cheap). CPU f64 oracle agreement: 2.5e-5 componentwise
-    # (tests/test_basis_engine.py + probes).
-    kws = min(k, N_s // 2)
+    # grad cross-check: f32 basis/steady vs the f64 basis/steady oracle.
+    # The oracle runs on the HOST CPU (jax.default_device): TPU f64 is
+    # emulated AND its N=20k f64 reverse graph cost ~10 min of remote
+    # compile per bench run. A small shape keeps both sides' compiles
+    # seconds-scale; accuracy transfers (the engines are shape-uniform).
+    N_c = 1_000 if SMOKE else 4_096
+    x_c = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N_c)
+    y_c = y[:N_c]
+    kws = min(k, N_c // 2)
 
     def loss64(p):
         s2, sc, noise = jnp.exp(p)
@@ -463,21 +471,22 @@ def config3(partial=None):
             + 0.3 * ApproxPeriodic(0.5)
         )
         x64 = RegularSpacing(
-            jnp.asarray(0.0, jnp.float64), jnp.asarray(0.001, jnp.float64), N_s
+            jnp.asarray(0.0, jnp.float64), jnp.asarray(0.001, jnp.float64), N_c
         )
         fx64 = to_sde(GP(kern), ArrayStorage(jnp.float64))(x64, noise)
         return api.logpdf(
-            fx64, y_s.astype(jnp.float64), engine="basis",
+            fx64, jnp.asarray(np.asarray(y_c), jnp.float64), engine="basis",
             sub_engine="steady", n_warmup=kws, nan_fallback=False,
         )
 
-    g_ref = np.asarray(
-        jax.jit(jax.grad(loss64))(p0.astype(jnp.float64))
-    )
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        g_ref = np.asarray(
+            jax.jit(jax.grad(loss64))(jnp.asarray(np.log([1.0, 0.5, 0.1])))
+        )
     g_bs = np.asarray(
         jax.jit(
             jax.grad(lambda q: loss(
-                q, y_s, x_s, "steady",
+                q, y_c, x_c, "steady",
                 {"n_warmup": kws, "nan_fallback": False},
             ))
         )(p0)
@@ -500,7 +509,7 @@ def config3(partial=None):
             "logpdf_ms": round(dt_f * 1e3, 2),
             "sequential_logpdf_ms": round(dt_seq * 1e3, 2),
             "value_rel_vs_seq": float(f"{rel:.2e}"),
-            "grad_rel_vs_f64_oracle_20k": float(f"{grel:.2e}"),
+            "grad_rel_vs_f64_oracle": float(f"{grel:.2e}"),
         },
     }
 
