@@ -41,6 +41,43 @@ def test_affine_const_states_vs_loop(rng):
                                atol=1e-12)
 
 
+def test_affine_const_states_multi_vs_columns(rng):
+    """The flat kron-lifted (R*D)-state form equals R independent vector
+    recursions, including its reverse mode (the lift is what keeps every
+    N-sized reverse-mode residual in ~1x-padding (M, R*D) layout on TPU —
+    the (M, D, R) form OOMed at 165 GB, see ops/steady docstring)."""
+    from temporalgps_tpu.ops.steady import affine_const_states_multi
+
+    D, R, M = 4, 6, 97
+    G = jnp.asarray(rng.standard_normal((D, D)) * 0.25)
+    W = jnp.asarray(rng.standard_normal((M, D, R)))
+    m0 = jnp.asarray(rng.standard_normal((D, R)))
+    got = affine_const_states_multi(G, W, m0, block_len=5)
+    want = jnp.stack(
+        [
+            affine_const_states(G, W[:, :, r], m0[:, r], block_len=5)
+            for r in range(R)
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+    def f_multi(G_):
+        return jnp.sum(affine_const_states_multi(G_, W, m0, block_len=5) ** 2)
+
+    def f_cols(G_):
+        return sum(
+            jnp.sum(affine_const_states(G_, W[:, :, r], m0[:, r],
+                                        block_len=5) ** 2)
+            for r in range(R)
+        )
+
+    g_multi = jax.grad(f_multi)(G)
+    g_cols = jax.grad(f_cols)(G)
+    np.testing.assert_allclose(np.asarray(g_multi), np.asarray(g_cols),
+                               rtol=1e-10)
+
+
 def _scalar_model(N=448, dt=0.1):
     x = RegularSpacing(0.0, dt, N)
     fx = to_sde(GP(Matern52()))(x, 0.1)
