@@ -295,7 +295,10 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     k = sd._round_warmup(n_warmup or sd.DEFAULT_WARMUP, N, base=64)
     if k >= N:
         return grams_block(model, Y, w_off, n_blocks=n_blocks)
-    B_w = 64
+    # Fat warmup blocks: L = k/B_w scan iterations dominate the f64-emulated
+    # head cost (dispatch + thin batches), so pin L ~ 64 rather than B_w = 64
+    # (measured on v5e at k=13376: 618 ms -> 394 ms, grams_steady_dissect).
+    B_w = max(64, k // 64)
     while k % B_w:
         B_w //= 2
 
