@@ -380,11 +380,14 @@ def config3(partial=None):
     model = build_lgssm(fx)
     y = jax.device_put(np.random.default_rng(0).standard_normal(N).astype(np.float32))
     # host-side warmup choice (steady approximation contract, ops/steady.py).
-    # tol=1e-6 keeps the warmup-truncation error orders below the f32
-    # pipeline floor (~1e-5) and the 5e-3 value gate while shrinking the
-    # f64-emulated exact head ~40% vs the 1e-10 default (the head dominates
-    # both runtime and cold-compile time at this shape).
-    k = int(steady.suggest_warmup(basis_setup(fx)[0], tol=1e-6))
+    # The truncation error of switching to constant gains at step k is
+    # N-independent (gain deviation ~tol at step k, decaying geometrically),
+    # and the f64-emulated exact head dominates both runtime and cold-compile
+    # time at this shape. Measured vs the f64 sequential oracle
+    # (probes/head_dtype_check.py, N=20k/100k): tol=1e-2 (k=2688) keeps
+    # grads at 2.5e-5 — same order as tol=1e-6 (k=8064) — with a 3x
+    # smaller head.
+    k = int(steady.suggest_warmup(basis_setup(fx)[0], tol=1e-2))
     partial["n_warmup"] = k
 
     # sequential yardstick: logpdf on the full D=19 state (safe default).

@@ -385,7 +385,8 @@ def basis_setup(fx: FiniteLTISDE):
 
 
 def _logpdf_basis(fx: FiniteLTISDE, y, *, sub_engine=None, n_blocks=None,
-                  n_warmup=None, block_len=16, nan_fallback=True):
+                  n_warmup=None, block_len=16, nan_fallback=True,
+                  head_dtype=None):
     """Marginalised-basis lml (see ops/basis.py). NaNs in y are missing
     observations: the usual large-variance fill of the reduced model makes
     every column's innovation contribution vanish at missing steps, and the
@@ -414,6 +415,7 @@ def _logpdf_basis(fx: FiniteLTISDE, y, *, sub_engine=None, n_blocks=None,
         return basis_ops.logpdf_basis(
             model_, Y, w_off, P0, engine=eng, n_blocks=n_blocks,
             n_warmup=n_warmup, block_len=block_len,
+            head_dtype=head_dtype if eng == "steady" else None,
         ) + comp
 
     if sub_engine == "steady":

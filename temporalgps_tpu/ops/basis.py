@@ -263,7 +263,7 @@ def _astype_tree(tree, dt):
 
 
 def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
-                 n_blocks=None):
+                 n_blocks=None, head_dtype=None):
     """Steady-state multi-column innovation grams (see grams_sequential).
 
     For an all-Fill reduced model the Kalman gain sequence is
@@ -282,6 +282,13 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     Approximation contract = ops/steady.py: choose
     n_warmup >~ 5 / (lambda dt); steady.suggest_warmup gives a host-side
     recommendation. Requires fully-observed data and an all-Fill model.
+
+    head_dtype overrides the warmup-head precision (default: the hi dtype,
+    f64 under x64). The f64-emulated head is the dominant TPU cost of this
+    engine (~6.5x over f32, probes/grams_steady_dissect.py); an f32 head is
+    a measured-accuracy opt-in — unlike the O(1) steady constants (where an
+    f32 bias multiplies by N), head-state error decays geometrically under
+    the steady gain, and the head gram accumulates over only k steps.
     """
     from . import steady as sd
 
@@ -302,7 +309,7 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     while k % B_w:
         B_w //= 2
 
-    hi = sd._hi(dtype)
+    hi = head_dtype or sd._hi(dtype)
     ld_w, gram_w, m_k, _ = grams_block(
         _astype_tree(sd._trim(model, k), hi),
         Y[:k].astype(hi),
@@ -380,7 +387,7 @@ def marginalised_lml(ld, gram, P0, N, dtype):
 
 
 def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None,
-                 n_warmup=None, block_len=16):
+                 n_warmup=None, block_len=16, head_dtype=None):
     """Marginalised lml: `model` is the reduced stochastic LGSSM, Y the
     (N, 1 + d_det) column stack [y - 0 | M] (column 0 = data), w_off the
     offset mask, P0 the (d_det, d_det) basis-weight prior covariance.
@@ -399,7 +406,7 @@ def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None,
         elif engine == "steady":
             ld, gram = grams_steady(
                 model, Y, w_off, n_warmup=n_warmup, block_len=block_len,
-                n_blocks=n_blocks,
+                n_blocks=n_blocks, head_dtype=head_dtype,
             )
         else:
             ld, gram = grams_block(model, Y, w_off, n_blocks=n_blocks)

@@ -158,6 +158,31 @@ def test_basis_steady_matches_sequential():
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_s), rtol=1e-6)
 
 
+def test_basis_steady_head_dtype_plumbs():
+    """head_dtype overrides the warmup-head precision (ops/basis.py):
+    an explicit f64 head equals the default (which resolves to f64 under
+    x64), and an f32 head changes the result only at the f32 floor —
+    the accuracy contract itself is measured in probes/head_dtype_check.py
+    (f32 head grads 2.4e-2 off: NOT a safe default; the shipped fast path
+    shrinks the f64 head via warmup tol instead)."""
+    N = 1024
+    x = RegularSpacing(0.0, 0.05, N)
+    y = _data(N, 11)
+
+    def lp(head_dtype):
+        kern = Matern52() + 0.3 * ApproxPeriodic(0.5, n_cos=2)
+        fx = to_sde(GP(kern))(x, 0.1)
+        return api.logpdf(fx, y, engine="basis", sub_engine="steady",
+                          n_warmup=512, head_dtype=head_dtype)
+
+    lp_default = float(jax.jit(lambda: lp(None))())
+    lp_f64 = float(jax.jit(lambda: lp(jnp.float64))())
+    lp_f32 = float(jax.jit(lambda: lp(jnp.float32))())
+    np.testing.assert_allclose(lp_f64, lp_default, rtol=0)
+    np.testing.assert_allclose(lp_f32, lp_default, rtol=1e-4)
+    assert lp_f32 != lp_default  # the override really routed
+
+
 def test_basis_steady_nan_contract():
     """Concrete NaNs raise; under jit (closed-over or traced y) a lax.cond
     falls back to the exact block missing-data path."""
