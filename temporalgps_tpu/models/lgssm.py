@@ -105,6 +105,30 @@ def _resolve_engine(engine, model=None):
     return "sequential"
 
 
+def _resolve_engine_affine(engine, model=None):
+    """_resolve_engine for the DATA-FREE affine drivers (marginals /
+    marginals_diag / latent_marginals / rand): these run on the affine
+    prefix pipeline, which supports BOTH orderings (assoc._iteration_view
+    re-aligns Reverse models into transition-then-emit form), so the
+    reverse-ordered posterior LGSSM must not fall back to the sequential
+    scan the way the filtering drivers do. Measured on v5e: posterior
+    marginals at N=10k were 21.3 ms through the sequential fallback vs
+    ~1 ms on the blocked affine pipeline (the public-API half of
+    probes/posterior_probe.py's N=1M 31.6 ms number)."""
+    if engine is not None:
+        return engine
+    if DEFAULT_ENGINE is not None:
+        return DEFAULT_ENGINE
+    if (
+        model is not None
+        and jax.default_backend() == "tpu"
+        and model.latent_dim <= 32
+        and not model.trans.det_blocks
+    ):
+        return "block"
+    return "sequential"
+
+
 def _auto_lti(model) -> bool:
     """Auto-select the lti engine for DATA-FREE drivers (marginals): the
     time-invariant vector-emission models at moderate state dims (the DTC
@@ -277,7 +301,7 @@ def filter_(model: LGSSM, y, *, engine=None):
 def marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Observation-space marginal at every step (dense covariance)
     (reference: src/models/lgssm.jl:99-115)."""
-    engine = _resolve_engine(engine, model)
+    engine = _resolve_engine_affine(engine, model)
     if engine in ("parallel", "block"):
         xs = _latent_marginals_engine(model, engine)
         return em.step_predict(xs, _emis_batched(model))
@@ -303,7 +327,7 @@ def marginals_diag(model: LGSSM, *, engine=None):
     (reference: src/models/lgssm.jl:125-141). Returns (means, vars)."""
     if engine is None and _auto_lti(model):
         engine = "lti"
-    engine = _resolve_engine(engine, model)
+    engine = _resolve_engine_affine(engine, model)
     if engine == "lti":
         from ..ops import lti
 
@@ -348,7 +372,7 @@ def latent_marginals(model: LGSSM, *, engine=None) -> Gaussian:
     """Marginals of the latent chain itself (stacked Gaussian)."""
     if engine is None and _auto_lti(model):
         engine = "lti"
-    engine = _resolve_engine(engine, model)
+    engine = _resolve_engine_affine(engine, model)
     if engine == "lti":
         from ..ops import lti
 
@@ -428,7 +452,7 @@ def rand(key, model: LGSSM, *, engine=None):
         Dout = em.dim_out(model.emis)
         eps_e = jax.random.normal(ke, (N, Dout), x_init.dtype)
 
-    engine = _resolve_engine(engine, model)
+    engine = _resolve_engine_affine(engine, model)
     if engine == "block":
         from ..ops import block
 

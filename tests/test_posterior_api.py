@@ -100,6 +100,22 @@ def test_posterior_engines_match(rng):
     x_pr = np.sort(rng.uniform(0.0, 5.0, N_PR))
     fxp = fp(x_pr, 0.2)
     m_seq, v_seq = marginals(fxp, engine="sequential")
-    m_par, v_par = marginals(fxp, engine="parallel")
-    np.testing.assert_allclose(np.asarray(m_par), np.asarray(m_seq), rtol=1e-8, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(v_par), np.asarray(v_seq), rtol=1e-8, atol=1e-9)
+    for eng in ("parallel", "block"):
+        m_e, v_e = marginals(fxp, engine=eng)
+        np.testing.assert_allclose(np.asarray(m_e), np.asarray(m_seq), rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v_e), np.asarray(v_seq), rtol=1e-8, atol=1e-9)
+
+
+def test_posterior_engines_match_same_inputs(rng):
+    """Same-inputs fast branch across engines — the block engine here drives
+    a REVERSE-ordered posterior model through the affine marginal pipeline
+    (the TPU auto-route after _resolve_engine_affine; on CPU the XLA block
+    path exercises the same reverse-order algebra)."""
+    f, fx, y = _setup(rng)
+    fp = posterior(fx, y)
+    fxp = fp(fx.x, 0.2)
+    m_seq, v_seq = marginals(fxp, engine="sequential")
+    for eng in ("parallel", "block"):
+        m_e, v_e = marginals(fxp, engine=eng)
+        np.testing.assert_allclose(np.asarray(m_e), np.asarray(m_seq), rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v_e), np.asarray(v_seq), rtol=1e-8, atol=1e-9)
