@@ -159,17 +159,25 @@ def _roundtrip_floor():
     return _RT_FLOOR
 
 
-def timed(fn, *args, iters=50):
+def timed(fn, *args, iters=50, check_finite=True):
     """Amortised device timing for the tunneled axon backend:
     block_until_ready does not force execution (see CLAUDE.md), and a
     per-iteration host fetch costs a ~27 ms round trip — so enqueue `iters`
     executions (FIFO on device) and fetch ONLY the final scalar; per-iter
-    time is (elapsed - one round-trip floor) / iters."""
+    time is (elapsed - one round-trip floor) / iters.
+
+    check_finite (default ON) fully fetches the first call's output and
+    asserts every element is finite BEFORE the timing loop runs — a NaN
+    graph must fail its config loudly, never record a plausible-looking
+    number (round-4 post-mortem: c3 timed a reverse-mode graph whose
+    gradient was NaN)."""
     floor = _roundtrip_floor()
     t0 = time.perf_counter()
     out = fn(*args)
     _fetch(out)
     compile_s = time.perf_counter() - t0
+    if check_finite:
+        _assert_finite(out)
     t0 = time.perf_counter()
     for _ in range(iters - 1):
         fn(*args)
@@ -183,6 +191,16 @@ def _fetch(out):
     """Force one scalar to the host (amortised-timing fence)."""
     leaves = jax.tree_util.tree_leaves(out)
     float(jnp.asarray(leaves[0]).ravel()[0])
+
+
+def _assert_finite(out):
+    """Full host fetch + finiteness gate on every output leaf."""
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(out)):
+        a = np.asarray(leaf)
+        if not np.isfinite(a).all():
+            raise AssertionError(
+                f"non-finite timed output (leaf {i}): {a.ravel()[:8]}"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -390,36 +408,6 @@ def config3(partial=None):
     k = int(steady.suggest_warmup(basis_setup(fx)[0], tol=1e-2))
     partial["n_warmup"] = k
 
-    # sequential yardstick: logpdf on the full D=19 state (safe default).
-    f_seq = jax.jit(lambda y_: lg.logpdf(model, y_, engine="sequential"))
-    dt_seq, cs, _ = timed(f_seq, y, iters=2)
-    val_seq = float(f_seq(y))
-    partial["sequential_ms"] = round(dt_seq * 1e3, 2)
-    log(
-        f"c3 D={model.latent_dim} N={N} logpdf[sequential]: {dt_seq*1e3:.2f} ms "
-        f"({N/dt_seq/1e6:.2f} Msteps/s) compile {cs:.0f}s val={val_seq:.1f}"
-    )
-
-    # basis/steady logpdf (reduced stochastic state, constant-gain grams).
-    # Bench data is dense, so skip compiling the traced-NaN lax.cond
-    # fallback branch (a full-N block-grams graph: ~2x compile, and its
-    # reverse pass is the expensive path).
-    f_fast = jax.jit(
-        lambda y_: api.logpdf(
-            fx, y_, engine="basis", sub_engine="steady", n_warmup=k,
-            nan_fallback=False,
-        )
-    )
-    dt_f, cs, _ = timed(f_fast, y, iters=3 if SMOKE else 20)
-    val_f = float(f_fast(y))
-    rel = abs(val_f - val_seq) / abs(val_seq)
-    partial["logpdf_ms"] = round(dt_f * 1e3, 2)
-    log(
-        f"c3 logpdf[basis/steady]: {dt_f*1e3:.2f} ms ({N/dt_f/1e6:.1f} Msteps/s) "
-        f"compile {cs:.0f}s val={val_f:.1f} rel-vs-seq={rel:.2e}"
-    )
-    assert rel < 5e-3, "c3 engine mismatch"
-
     # lp+grad through the basis/steady engine (3 hyperparameters).
     def loss(p, y_, x_=x, sub="steady", kw=None):
         return api.logpdf(
@@ -427,35 +415,8 @@ def config3(partial=None):
             **(kw or {"n_warmup": k, "nan_fallback": False})
         )
 
-    g_fast = jax.jit(lambda p, y_: jax.value_and_grad(loss)(p, y_)[1][0])
-    dt_g, cs, _ = timed(g_fast, p0, y, iters=3 if SMOKE else 10)
-    steps_per_sec = N / dt_g
-    partial["lp_grad_ms"] = round(dt_g * 1e3, 2)
-    partial["lp_grad_msteps_per_s"] = round(steps_per_sec / 1e6, 1)
-    log(
-        f"c3 lp+grad[basis/steady] N={N}: {dt_g*1e3:.2f} ms "
-        f"({steps_per_sec/1e6:.1f} Msteps/s) compile {cs:.0f}s"
-    )
-
-    # baseline stand-in: sequential f32 lp+grad on the full state at N=20k
-    # (timing only — f32 reverse-mode through the full det-block state is
-    # ~12% off the f64 truth at N=2k, measured; the basis/steady grad is
-    # the only correct f32 path for this family).
-    N_s = 2_000 if SMOKE else 20_000
-    x_s = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N_s)
-    y_s = y[:N_s]
-    g_seq = jax.jit(
-        lambda p, y_: jax.value_and_grad(
-            lambda q: lg.logpdf(build_lgssm(make_fx(q, x_s)), y_, engine="sequential")
-        )(p)[1][0]
-    )
-    dt_gs, _, _ = timed(g_seq, p0, y_s, iters=2)
-    seq_steps_per_sec = N_s / dt_gs
-    log(
-        f"c3 seq lp+grad N={N_s}: {dt_gs*1e3:.2f} ms "
-        f"({seq_steps_per_sec/1e6:.3f} Msteps/s)"
-    )
-
+    # Cheap small-shape gradient gate FIRST (round-4 post-mortem: the
+    # N=1M graphs compiled for ~20 min and then the gate failed anyway).
     # grad cross-check: f32 basis/steady vs the f64 basis/steady oracle.
     # The oracle runs on the HOST CPU (jax.default_device): TPU f64 is
     # emulated AND its N=20k f64 reverse graph cost ~10 min of remote
@@ -499,6 +460,67 @@ def config3(partial=None):
     )
     log(f"c3 grad cross-check vs f64 oracle: rel={grel:.2e} g32={g_bs} g64={g_ref}")
     assert grel < 1e-3, "c3 gradient mismatch"
+
+
+    # sequential yardstick: logpdf on the full D=19 state (safe default).
+    f_seq = jax.jit(lambda y_: lg.logpdf(model, y_, engine="sequential"))
+    dt_seq, cs, _ = timed(f_seq, y, iters=2)
+    val_seq = float(f_seq(y))
+    partial["sequential_ms"] = round(dt_seq * 1e3, 2)
+    log(
+        f"c3 D={model.latent_dim} N={N} logpdf[sequential]: {dt_seq*1e3:.2f} ms "
+        f"({N/dt_seq/1e6:.2f} Msteps/s) compile {cs:.0f}s val={val_seq:.1f}"
+    )
+
+    # basis/steady logpdf (reduced stochastic state, constant-gain grams).
+    # Bench data is dense, so skip compiling the traced-NaN lax.cond
+    # fallback branch (a full-N block-grams graph: ~2x compile, and its
+    # reverse pass is the expensive path).
+    f_fast = jax.jit(
+        lambda y_: api.logpdf(
+            fx, y_, engine="basis", sub_engine="steady", n_warmup=k,
+            nan_fallback=False,
+        )
+    )
+    dt_f, cs, _ = timed(f_fast, y, iters=3 if SMOKE else 20)
+    val_f = float(f_fast(y))
+    rel = abs(val_f - val_seq) / abs(val_seq)
+    partial["logpdf_ms"] = round(dt_f * 1e3, 2)
+    log(
+        f"c3 logpdf[basis/steady]: {dt_f*1e3:.2f} ms ({N/dt_f/1e6:.1f} Msteps/s) "
+        f"compile {cs:.0f}s val={val_f:.1f} rel-vs-seq={rel:.2e}"
+    )
+    assert rel < 5e-3, "c3 engine mismatch"
+
+    g_fast = jax.jit(lambda p, y_: jax.value_and_grad(loss)(p, y_)[1][0])
+    dt_g, cs, _ = timed(g_fast, p0, y, iters=3 if SMOKE else 10)
+    steps_per_sec = N / dt_g
+    partial["lp_grad_ms"] = round(dt_g * 1e3, 2)
+    partial["lp_grad_msteps_per_s"] = round(steps_per_sec / 1e6, 1)
+    log(
+        f"c3 lp+grad[basis/steady] N={N}: {dt_g*1e3:.2f} ms "
+        f"({steps_per_sec/1e6:.1f} Msteps/s) compile {cs:.0f}s"
+    )
+
+    # baseline stand-in: sequential f32 lp+grad on the full state at N=20k
+    # (timing only — f32 reverse-mode through the full det-block state is
+    # ~12% off the f64 truth at N=2k, measured; the basis/steady grad is
+    # the only correct f32 path for this family).
+    N_s = 2_000 if SMOKE else 20_000
+    x_s = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N_s)
+    y_s = y[:N_s]
+    g_seq = jax.jit(
+        lambda p, y_: jax.value_and_grad(
+            lambda q: lg.logpdf(build_lgssm(make_fx(q, x_s)), y_, engine="sequential")
+        )(p)[1][0]
+    )
+    dt_gs, _, _ = timed(g_seq, p0, y_s, iters=2)
+    seq_steps_per_sec = N_s / dt_gs
+    log(
+        f"c3 seq lp+grad N={N_s}: {dt_gs*1e3:.2f} ms "
+        f"({seq_steps_per_sec/1e6:.3f} Msteps/s)"
+    )
+
 
     return {
         "value": round(steps_per_sec, 1),
@@ -745,13 +767,17 @@ def main():
         sys.exit(1)
     log("devices:", devs)
     plan = [
-        # (name, fn, rough worst-case cold cost in seconds — used to decide
-        # whether starting it would blow the soft budget)
+        # (name, fn, rough worst-case COLD cost in seconds — round-4/5
+        # measured actuals; with a prewarmed /tmp/tgps_jax_cache each runs
+        # in a fraction of this). c3 goes LAST: its f64 warmup-head compile
+        # is the most expensive graph in the suite (round 4: ~20 min cold,
+        # starving c4/c5 — never again; the spatio-temporal configs must
+        # always get their numbers first).
         ("c2_matern52_n1m_learning", config2, 180.0),
         ("c1_matern32_n10k_static", config1, 60.0),
-        ("c3_sum_kernel_d19_n1m", config3, 240.0),
-        ("c4_exact_space_time_50x1000", config4, 120.0),
+        ("c4_exact_space_time_50x1000", config4, 180.0),
         ("c5_dtc_elbo_learning", config5, 420.0),
+        ("c3_sum_kernel_d19_n1m", config3, 300.0),
     ]
     only = {s for s in os.environ.get("TGPS_BENCH_ONLY", "").split(",") if s}
     if only:  # builder-side subset runs (cache prewarm / single-config probes)
