@@ -133,7 +133,13 @@ def _steady_filter_cov(model, N, dtype, n_warmup=None):
     n_warmup >= 5/(lambda dt)) puts convergence at t = 8 x warmup below
     e^-80 — far under f64 round-off — and each squaring is a full f64
     element combine (~5 ms at D=30 on v5e under f64 emulation), so going
-    to 2^ceil(log2 N) buys nothing."""
+    to 2^ceil(log2 N) buys nothing.
+
+    The squarings run as ONE lax.scan over levels, not a Python loop: the
+    unrolled-psd f64 combine body is a huge HLO under TPU f64 emulation,
+    and ~13 inlined copies of it were the engine's remote-compile bomb
+    (measured 321 s cold at the bench-c3 shape, docs/ROADMAP.md
+    "Dissection"); the scan compiles the body once."""
     D = model.latent_dim
     hi = _hi(dtype)
     # latency_mode: ~12 unbatched f64 combines x ~5 small chol/tri_solve
@@ -143,8 +149,12 @@ def _steady_filter_cov(model, N, dtype, n_warmup=None):
         e0, _, _ = lti._const_element(model, hi)
         E = (e0[0], jnp.zeros((D,), hi), e0[2], jnp.zeros((D,), hi), e0[4])
         t_cap = min(N, 8 * (n_warmup or DEFAULT_WARMUP))
-        for _ in range(max(1, math.ceil(math.log2(max(t_cap, 2))))):
-            E = assoc._combine_filter(E, E)
+        levels = max(1, math.ceil(math.log2(max(t_cap, 2))))
+
+        def _square(E_c, _):
+            return assoc._combine_filter(E_c, E_c), None
+
+        E, _ = jax.lax.scan(_square, E, None, length=levels)
         x0 = model.trans.x0
         prior = (
             jnp.zeros((D, D), hi),
