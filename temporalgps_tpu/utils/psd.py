@@ -261,6 +261,18 @@ def _batch_elems(*shapes) -> int:
     return int(_np.prod(batch)) if batch else 1
 
 
+def _avoid_native(dtype) -> bool:
+    """Avoid XLA's native cholesky/triangular_solve custom calls for f64 on
+    the TPU backend: they are numerically fine in isolation (exact to 1e-13
+    vs CPU at (64, 5, 5)) but produce all-NaN output when embedded in larger
+    scan graphs — measured on v5e inside the basis/steady f64 warmup-head
+    phases, where the same graph with the custom-call-free unrolled paths is
+    finite and correct (probes/c3_nan_bisect3.py, round 5; cf. the known
+    TPU f64 LuDecomposition hole, CLAUDE.md). Applies for every D the
+    unrolled/compact paths support (D <= _UNROLL_MAX_D)."""
+    return dtype == jnp.float64 and jax.default_backend() == "tpu"
+
+
 def cholesky(P):
     """Lower Cholesky factor, batched; unrolled for moderate D (see
     _chol_unrolled_col) when the batch is fat, closed-form for D <= 4."""
@@ -271,7 +283,7 @@ def cholesky(P):
         fat = _batch_elems(P.shape) >= _UNROLL_MIN_BATCH
         if fat:
             return _chol_mid(P)
-        if _FORCE_UNROLL:
+        if _FORCE_UNROLL or _avoid_native(P.dtype):
             # thin latency-mode call: compact scan form — same custom-call-
             # free runtime, O(1) traced primitives (see block comment above)
             return _chol_compact(P)
@@ -369,7 +381,7 @@ def tri_solve(L, B, *, lower=True, trans=False):
         fat = _batch_elems(L.shape, B.shape) >= _UNROLL_MIN_BATCH
         if fat:
             return _tri_solve_mid(L, B, lower, trans)
-        if _FORCE_UNROLL:
+        if _FORCE_UNROLL or _avoid_native(L.dtype):
             return _tri_solve_compact(L, B, lower, trans)
     # jax.scipy.solve_triangular does not numpy-broadcast mismatched batch
     # dims (e.g. block-batched L (B,D,D) vs time-invariant Fill rhs (D,K));
