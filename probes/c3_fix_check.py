@@ -1,0 +1,160 @@
+"""Verify the f64-on-TPU psd custom-call fix at the bench-c3 shapes.
+
+After utils/psd._avoid_native (round 5): the f64 warmup head's
+cholesky/tri_solve route to the custom-call-free compact paths on TPU.
+Checks, in order (each gates the next):
+
+  v0  basis/steady VALUE + reverse GRAD at the bench cross-check shape
+      (N=4096, k=2048) — the round-4 NaN repro — vs the CPU f64 oracle.
+  v1  N=1M value vs sequential (5e-3 gate) + reverse lp+grad finite,
+      amortised timing for both (the bench c3 numbers).
+
+Run: cd /root/repo && PYTHONPATH=/root/repo:$PYTHONPATH \
+  nohup python probes/c3_fix_check.py > /tmp/c3_fix.log 2>&1 &
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tgps_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from temporalgps_tpu import RegularSpacing
+from temporalgps_tpu.gp import (GP, ApproxPeriodic, ArrayStorage, Matern32,
+                                Matern52, to_sde)
+from temporalgps_tpu.gp import lti_sde as api
+from temporalgps_tpu.models import lgssm as lg
+from temporalgps_tpu.gp.lti_sde import build_lgssm
+
+dtype = jnp.float32
+_RT = None
+
+
+def _floor():
+    global _RT
+    if _RT is None:
+        f = jax.jit(lambda x: x + 1.0)
+        z = jnp.zeros(())
+        float(f(z))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(f(z))
+        _RT = (time.perf_counter() - t0) / 10
+    return _RT
+
+
+def timed(name, fn, *args, iters=10):
+    fl = _floor()
+    t0 = time.perf_counter()
+    out = fn(*args)
+    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    cs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters - 1):
+        fn(*args)
+    out = fn(*args)
+    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    dt = max((time.perf_counter() - t0 - fl) / iters, 1e-9)
+    print(f"{name}: {dt*1e3:.2f} ms (compile {cs:.0f}s)", flush=True)
+    return dt, out
+
+
+def make_loss(N, x):
+    def loss(p, y_, **kw):
+        s2, sc, noise = jnp.exp(p)
+        kern = (
+            s2 * Matern52()
+            + 0.6 * Matern32().stretch(sc)
+            + 0.3 * ApproxPeriodic(0.5)
+        )
+        fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
+        return api.logpdf(fx, y_, engine="basis", sub_engine="steady",
+                          nan_fallback=False, **kw)
+    return loss
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    p0 = jnp.log(jnp.asarray([1.0, 0.5, 0.1], dtype))
+    y_np = np.random.default_rng(0).standard_normal(1_000_000).astype(np.float32)
+    y_all = jax.device_put(y_np)
+
+    # ---- v0: the round-4 NaN repro shape
+    N_c, k_c = 4_096, 2_048
+    x_c = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N_c)
+    loss_c = make_loss(N_c, x_c)
+    v = float(jax.jit(lambda p: loss_c(p, y_all[:N_c], n_warmup=k_c))(p0))
+    g = np.asarray(jax.jit(jax.grad(
+        lambda p: loss_c(p, y_all[:N_c], n_warmup=k_c)))(p0))
+    print(f"v0 value={v:.4f} grad={g}", flush=True)
+    assert np.isfinite(v) and np.isfinite(g).all(), "v0 still NaN"
+
+    def loss64(p):
+        s2, sc, noise = jnp.exp(p)
+        kern = (
+            s2 * Matern52()
+            + 0.6 * Matern32().stretch(sc)
+            + 0.3 * ApproxPeriodic(0.5)
+        )
+        x64 = RegularSpacing(
+            jnp.asarray(0.0, jnp.float64), jnp.asarray(0.001, jnp.float64), N_c
+        )
+        fx64 = to_sde(GP(kern), ArrayStorage(jnp.float64))(x64, noise)
+        return api.logpdf(
+            fx64, jnp.asarray(y_np[:N_c], jnp.float64),
+            engine="basis", sub_engine="steady", n_warmup=k_c,
+            nan_fallback=False,
+        )
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        g64 = np.asarray(jax.jit(jax.grad(loss64))(
+            jnp.asarray(np.log([1.0, 0.5, 0.1]))))
+    grel = float(np.max(np.abs(g.astype(np.float64) - g64) / (np.abs(g64) + 1e-9)))
+    print(f"v0 grad vs f64 oracle: rel={grel:.2e} g64={g64}", flush=True)
+    assert grel < 1e-3, "v0 gradient mismatch"
+
+    # ---- v1: the N=1M bench numbers
+    N = 1_000_000
+    x = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N)
+    loss_m = make_loss(N, x)
+    from temporalgps_tpu.ops import steady
+    from temporalgps_tpu.gp.lti_sde import basis_setup
+
+    s2, sc, noise = jnp.exp(p0)
+    fx = to_sde(GP(s2 * Matern52() + 0.6 * Matern32().stretch(sc)
+                   + 0.3 * ApproxPeriodic(0.5)), ArrayStorage(dtype))(x, noise)
+    k = int(steady.suggest_warmup(basis_setup(fx)[0], tol=1e-2))
+    print(f"v1 warmup k={k}", flush=True)
+
+    f_lp = jax.jit(lambda y_: loss_m(p0, y_, n_warmup=k))
+    _, out = timed("v1 logpdf[basis/steady] N=1M", f_lp, y_all, iters=10)
+    val_f = float(out)
+    f_seq = jax.jit(lambda y_: lg.logpdf(build_lgssm(fx), y_, engine="sequential"))
+    t0 = time.perf_counter()
+    val_seq = float(f_seq(y_all))
+    print(f"v1 seq val (compile+run {time.perf_counter()-t0:.0f}s)", flush=True)
+    rel = abs(val_f - val_seq) / abs(val_seq)
+    print(f"v1 value rel vs seq: {rel:.2e} ({val_f:.1f} vs {val_seq:.1f})",
+          flush=True)
+    assert np.isfinite(val_f) and rel < 5e-3
+
+    g_fast = jax.jit(lambda p, y_: jax.value_and_grad(
+        lambda q: loss_m(q, y_, n_warmup=k))(p))
+    _, (v1, g1) = timed("v1 lp+grad[basis/steady] N=1M", g_fast, p0, y_all,
+                        iters=5)
+    g1 = np.asarray(g1)
+    print(f"v1 lp+grad value={float(v1):.1f} grad={g1}", flush=True)
+    assert np.isfinite(g1).all(), "v1 grad NaN"
+    print("c3 fix CONFIRMED", flush=True)
+
+
+if __name__ == "__main__":
+    main()

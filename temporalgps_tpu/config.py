@@ -41,6 +41,27 @@ def precision_ctx(latent_dim: int):
         return jax.default_matmul_precision("highest")
     return contextlib.nullcontext()
 
+
+def ambient_matmul_precision():
+    """The matmul precision active at the CURRENT trace point (None =
+    backend default). custom_vjp bwd functions are traced OUTSIDE the
+    `with precision_ctx(...)` scope that wrapped the forward call, so a
+    bwd that re-traces compute (rather than transposing the fwd ops, which
+    inherit per-op precision) silently drops to the TPU bf16 default —
+    measured round 5: the basis/steady reverse grads came out ~1000x wrong
+    on v5e while CPU was exact (probes/c3_fix_check.py). Every such bwd
+    must capture this at fwd time and re-apply via matmul_precision_ctx."""
+    return jax.config.jax_default_matmul_precision
+
+
+def matmul_precision_ctx(prec):
+    """Context manager applying a captured ambient precision (None = no-op)."""
+    import contextlib
+
+    if prec is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(prec)
+
 # Jitter constants, chosen to match the reference semantics exactly:
 #  - 1e-12: default observation noise of a FiniteGP over an LTISDE
 #    (reference: src/gp/lti_sde.jl:27-29) and `ident_eps` default

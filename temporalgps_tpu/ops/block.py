@@ -581,20 +581,26 @@ def _logpdf_pallas_impl(model, y, n_blocks, phase2=None):
     return lml + comp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _logpdf_pallas_cv(model, y, n_blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _logpdf_pallas_cv(model, y, n_blocks, prec=None):
     return _logpdf_pallas_impl(model, y, n_blocks)
 
 
-def _logpdf_pallas_fwd(model, y, n_blocks):
+def _logpdf_pallas_fwd(model, y, n_blocks, prec=None):
     return _logpdf_pallas_impl(model, y, n_blocks), (model, y)
 
 
-def _logpdf_pallas_bwd(n_blocks, res, g):
+def _logpdf_pallas_bwd(n_blocks, prec, res, g):
+    from ..config import matmul_precision_ctx
+
     model, y = res
-    # Backward through the XLA engine (same function, different schedule).
-    _, vjp = jax.vjp(lambda m, yy: _logpdf_xla(m, yy, None), model, y)
-    return vjp(g)
+    # Backward through the XLA engine (same function, different schedule),
+    # under the matmul precision captured at the fwd call site — custom_vjp
+    # bwd traces outside the caller's precision scope
+    # (config.ambient_matmul_precision).
+    with matmul_precision_ctx(prec):
+        _, vjp = jax.vjp(lambda m, yy: _logpdf_xla(m, yy, None), model, y)
+        return vjp(g)
 
 
 _logpdf_pallas_cv.defvjp(_logpdf_pallas_fwd, _logpdf_pallas_bwd)
@@ -720,7 +726,10 @@ def logpdf(model, y, *, n_blocks=None, pallas=None, phase2=None):
         # slower than the XLA schedule.
         pallas = jax.default_backend() == "tpu"
     if pallas and _pallas_supported(model):
-        return _logpdf_pallas_cv(model, y, n_blocks)
+        from ..config import ambient_matmul_precision
+
+        return _logpdf_pallas_cv(model, y, n_blocks,
+                                 ambient_matmul_precision())
     return _logpdf_xla(model, y, n_blocks, phase2)
 
 

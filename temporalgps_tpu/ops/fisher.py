@@ -174,27 +174,40 @@ def fisher_cotangents(model, y, g, *, engine="parallel"):
     return LGSSM(trans_bar, emis_bar), g * dy
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def logpdf_fisher(model, y, n_blocks=None, engine="parallel"):
     """logpdf with closed-form Fisher-identity gradients.
 
     Forward: block engine. Backward: parallel smoother + batched EM
-    sufficient-statistic contractions (no scan residuals).
+    sufficient-statistic contractions (no scan residuals). The ambient
+    matmul precision is captured here and re-applied inside the bwd —
+    custom_vjp bwd traces outside the caller's precision scope
+    (config.ambient_matmul_precision).
     """
+    from ..config import ambient_matmul_precision
+
+    return _logpdf_fisher_cv(model, y, n_blocks, engine,
+                             ambient_matmul_precision())
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _logpdf_fisher_cv(model, y, n_blocks, engine, prec):
     from . import block
 
     return block.logpdf(model, y, n_blocks=n_blocks)
 
 
-def _fwd(model, y, n_blocks, engine):
+def _fwd(model, y, n_blocks, engine, prec):
     from . import block
 
     return block.logpdf(model, y, n_blocks=n_blocks), (model, y)
 
 
-def _bwd(n_blocks, engine, res, g):
+def _bwd(n_blocks, engine, prec, res, g):
+    from ..config import matmul_precision_ctx
+
     model, y = res
-    return fisher_cotangents(model, y, g, engine=engine)
+    with matmul_precision_ctx(prec):
+        return fisher_cotangents(model, y, g, engine=engine)
 
 
-logpdf_fisher.defvjp(_fwd, _bwd)
+_logpdf_fisher_cv.defvjp(_fwd, _bwd)

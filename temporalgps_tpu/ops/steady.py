@@ -180,12 +180,17 @@ def affine_const_states(G, w, m0, *, block_len=16):
     recursion is the SAME recursion run with G^T on the flipped cotangents
     (lambda_t = mbar_t + G' lambda_{t+1}), so the backward pass re-enters
     this forward kernel instead of XLA's transposed Kogge-Stone (which
-    blew up the TPU compile at M ~ 1e6)."""
-    return _acs(G, w, m0, block_len)
+    blew up the TPU compile at M ~ 1e6). The ambient matmul precision is
+    captured HERE and re-applied inside the bwd: custom_vjp bwd traces
+    outside the caller's precision scope, and the TPU bf16 default
+    corrupts the adjoint recursion (config.ambient_matmul_precision)."""
+    from ..config import ambient_matmul_precision
+
+    return _acs(G, w, m0, block_len, ambient_matmul_precision())
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _acs(G, w, m0, block_len):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _acs(G, w, m0, block_len, prec=None):
     return _acs_impl(G, w, m0, block_len)
 
 
@@ -236,20 +241,23 @@ def _acs_impl(G, w, m0, block_len):
     return (lead + W).reshape(B * L, D)[:M]
 
 
-def _acs_fwd(G, w, m0, block_len):
+def _acs_fwd(G, w, m0, block_len, prec=None):
     m = _acs_impl(G, w, m0, block_len)
     return m, (G, w, m0, m)
 
 
-def _acs_bwd(block_len, res, mbar):
+def _acs_bwd(block_len, prec, res, mbar):
+    from ..config import matmul_precision_ctx
+
     G, w, m0, m = res
-    # lambda_t = mbar_t + G' lambda_{t+1}  (lambda_{M+1} = 0)
-    lam = jnp.flip(
-        _acs_impl(G.T, jnp.flip(mbar, 0), jnp.zeros_like(m0), block_len), 0
-    )
-    m_prev = jnp.concatenate([m0[None], m[:-1]], axis=0)
-    G_bar = lam.T @ m_prev           # sum_t lambda_t m_{t-1}'
-    m0_bar = G.T @ lam[0]
+    with matmul_precision_ctx(prec):
+        # lambda_t = mbar_t + G' lambda_{t+1}  (lambda_{M+1} = 0)
+        lam = jnp.flip(
+            _acs_impl(G.T, jnp.flip(mbar, 0), jnp.zeros_like(m0), block_len), 0
+        )
+        m_prev = jnp.concatenate([m0[None], m[:-1]], axis=0)
+        G_bar = lam.T @ m_prev           # sum_t lambda_t m_{t-1}'
+        m0_bar = G.T @ lam[0]
     return G_bar, lam, m0_bar
 
 
