@@ -285,10 +285,14 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
 
     head_dtype overrides the warmup-head precision (default: the hi dtype,
     f64 under x64). The f64-emulated head is the dominant TPU cost of this
-    engine (~6.5x over f32, probes/grams_steady_dissect.py); an f32 head is
-    a measured-accuracy opt-in — unlike the O(1) steady constants (where an
-    f32 bias multiplies by N), head-state error decays geometrically under
-    the steady gain, and the head gram accumulates over only k steps.
+    engine (~6.5x over f32, probes/grams_steady_dissect.py), but the f32
+    head SACRIFICES GRADIENT ACCURACY: measured vs the f64 sequential
+    oracle (probes/head_dtype_check.py, c3 kernel), f32-head reverse-mode
+    grads are 3.2e-3 - 2.4e-2 rel (vs 9e-6 - 2.5e-5 for the f64 head) —
+    values stay ~1e-5 (head-state error decays geometrically under the
+    steady gain, but the head GRAM accumulates k steps of f32 innovation
+    round-off, and its reverse pass amplifies it). Not a safe opt-in for
+    gradient-based training; the bench keeps the f64 head.
     """
     from . import steady as sd
 
@@ -309,7 +313,14 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     while k % B_w:
         B_w //= 2
 
-    hi = head_dtype or sd._hi(dtype)
+    hi = sd._hi(dtype) if head_dtype is None else jnp.dtype(head_dtype)
+    if head_dtype is not None and not jax.config.jax_enable_x64 and (
+        hi == jnp.float64
+    ):
+        raise ValueError(
+            "head_dtype=float64 requested but jax_enable_x64 is off — the "
+            "head would silently downcast to float32"
+        )
     ld_w, gram_w, m_k, _ = grams_block(
         _astype_tree(sd._trim(model, k), hi),
         Y[:k].astype(hi),
