@@ -43,7 +43,10 @@ def random_gauss_markov(rng, D, N, *, time_varying=True, forward=True):
     return GaussMarkov(As=As, offs=offs, Qs=Qs, x0=x0, forward=forward)
 
 
-def random_emissions(rng, kind, D, Dout, N, *, time_varying=True):
+def random_emissions(rng, kind, D, Dout, N, *, time_varying=True,
+                     all_fill=False):
+    """all_fill=True additionally makes the NOISE leaf Fill (time-invariant
+    emissions throughout) — required by the lti/steady engine contract."""
     if kind == "scalar":
         if time_varying:
             return ScalarEmissions(
@@ -54,7 +57,9 @@ def random_emissions(rng, kind, D, Dout, N, *, time_varying=True):
         return ScalarEmissions(
             H=Fill(rng.standard_normal(D), N),
             h=Fill(np.float64(0.1), N),
-            s=0.1 + rng.random(N),
+            s=Fill(np.float64(0.1 + rng.random()), N)
+            if all_fill
+            else 0.1 + rng.random(N),
         )
     if kind == "dense":
         if time_varying:
@@ -66,7 +71,9 @@ def random_emissions(rng, kind, D, Dout, N, *, time_varying=True):
         return DenseEmissions(
             H=Fill(rng.standard_normal((Dout, D)), N),
             h=Fill(rng.standard_normal(Dout) * 0.2, N),
-            S=np.stack([random_psd(rng, Dout, 0.5) for _ in range(N)]),
+            S=Fill(random_psd(rng, Dout, 0.5), N)
+            if all_fill
+            else np.stack([random_psd(rng, Dout, 0.5) for _ in range(N)]),
         )
     if kind == "large":
         return LargeEmissions(
@@ -125,11 +132,29 @@ def random_gauss_markov_q(rng, D, N, *, time_varying=True, forward=True,
 
 
 def random_lgssm_q(rng, *, kind="scalar", D=3, Dout=2, N=7, time_varying=True,
-                   forward=True, q_diag=False):
+                   forward=True, q_diag=False, all_fill=False, rho=None):
+    """rho: optional spectral-radius cap override for the transition (the
+    steady-engine sweep uses a contractive chain so the constant-gain
+    approximation converges well inside a short warmup)."""
     trans = random_gauss_markov_q(
         rng, D, N, time_varying=time_varying, forward=forward, q_diag=q_diag
     )
-    emis = random_emissions(rng, kind, D, Dout, N, time_varying=time_varying)
+    if rho is not None:
+        from temporalgps_tpu.utils.fill import is_fill
+
+        def shrink(A):
+            v = A.value if is_fill(A) else A
+            ev = np.max(np.abs(np.linalg.eigvals(np.asarray(v))))
+            v = np.asarray(v) * (rho / max(ev, 1e-12))
+            return Fill(v, len(trans)) if is_fill(A) else v
+
+        trans = GaussMarkov(
+            As=shrink(trans.As), offs=trans.offs, Qs=trans.Qs, x0=trans.x0,
+            forward=trans.forward,
+        )
+    emis = random_emissions(
+        rng, kind, D, Dout, N, time_varying=time_varying, all_fill=all_fill
+    )
     return LGSSM(trans, emis)
 
 

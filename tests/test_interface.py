@@ -131,3 +131,80 @@ def test_interface(rng, case):
                 np.atleast_2d(np.asarray(ys_post.cov)[t]), pw_covs[t],
                 rtol=1e-6, atol=1e-8,
             )
+
+
+# ---------------------------------------------------------------------------
+# Engine sweep over the full generator grid (the reference sweeps its model
+# grid through one engine; here the sequential scan is ground truth and
+# every parallel engine must agree on every generated model —
+# test/models/lgssm.jl:15-36 crossed with this package's engine axis).
+# ---------------------------------------------------------------------------
+
+SWEEP_ENGINES = ["parallel", "block", "sqrt"]
+SETTINGS = [dict(D=3, Dout=2, N=8), dict(D=5, Dout=4, N=11)]
+
+
+def _sid(s):
+    return f"D{s['D']}xDout{s['Dout']}xN{s['N']}"
+
+
+@pytest.mark.parametrize("setting", SETTINGS, ids=_sid)
+@pytest.mark.parametrize("case", CASES(), ids=_ids)
+def test_engine_sweep(rng, case, setting):
+    """logpdf / filter / marginals_diag / posterior across every generic
+    engine on every generated model, vs the sequential scan at f64."""
+    model = random_lgssm_q(rng, **case, **setting)
+    y = random_obs(rng, model)
+    lp0 = float(logpdf(model, y, engine="sequential"))
+    xf0 = filter_(model, y, engine="sequential")
+    md0, vd0 = marginals_diag(model, engine="sequential")
+    for eng in SWEEP_ENGINES:
+        lp = float(logpdf(model, y, engine=eng))
+        np.testing.assert_allclose(lp, lp0, rtol=1e-8, err_msg=eng)
+        xf = filter_(model, y, engine=eng)
+        np.testing.assert_allclose(
+            np.asarray(xf.mean), np.asarray(xf0.mean), rtol=1e-7, atol=1e-9,
+            err_msg=eng,
+        )
+        md, vd = marginals_diag(model, engine=eng)
+        np.testing.assert_allclose(np.asarray(md), np.asarray(md0),
+                                   rtol=1e-8, atol=1e-10, err_msg=eng)
+        np.testing.assert_allclose(np.asarray(vd), np.asarray(vd0),
+                                   rtol=1e-8, atol=1e-10, err_msg=eng)
+    if model.trans.forward:
+        post0 = marginals(posterior(model, y, engine="sequential"))
+        for eng in SWEEP_ENGINES:
+            ys_p = marginals(posterior(model, y, engine=eng), engine=eng)
+            np.testing.assert_allclose(
+                np.asarray(ys_p.mean), np.asarray(post0.mean),
+                rtol=1e-6, atol=1e-8, err_msg=eng,
+            )
+
+
+@pytest.mark.parametrize("setting", SETTINGS, ids=_sid)
+@pytest.mark.parametrize("kind", ["scalar", "dense"])
+def test_engine_sweep_fill(rng, kind, setting):
+    """lti + steady on their supported family (forward, fully-Fill): the
+    time-invariant generator axis crossed with the constant-operator
+    engines. The chain is contractive (rho=0.5) so the steady gain has
+    converged well inside the warmup and the approximation error sits at
+    round-off."""
+    N = 128
+    model = random_lgssm_q(
+        rng, kind=kind, D=setting["D"], Dout=setting["Dout"], N=N,
+        time_varying=False, forward=True, all_fill=True, rho=0.5,
+    )
+    validate_dims(model)
+    y = random_obs(rng, model)
+    lp0 = float(logpdf(model, y, engine="sequential"))
+    lp_lti = float(logpdf(model, y, engine="lti"))
+    np.testing.assert_allclose(lp_lti, lp0, rtol=1e-8, err_msg="lti")
+    lp_st = float(logpdf(model, y, engine="steady", n_warmup=64))
+    np.testing.assert_allclose(lp_st, lp0, rtol=1e-7, err_msg="steady")
+    md0, vd0 = marginals_diag(model, engine="sequential")
+    for eng in ("lti", "steady"):
+        md, vd = marginals_diag(model, engine=eng)
+        np.testing.assert_allclose(np.asarray(md), np.asarray(md0),
+                                   rtol=1e-6, atol=1e-9, err_msg=eng)
+        np.testing.assert_allclose(np.asarray(vd), np.asarray(vd0),
+                                   rtol=1e-6, atol=1e-9, err_msg=eng)
