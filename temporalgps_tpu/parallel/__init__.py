@@ -1,6 +1,7 @@
 from .sharded import (
     sharded_elbo,
     sharded_logpdf,
+    sharded_logpdf_basis,
     sharded_posterior_marginals,
     sharded_posterior_rand,
     sharded_steady_logpdf,
@@ -9,6 +10,7 @@ from .sharded import (
 __all__ = [
     "sharded_elbo",
     "sharded_logpdf",
+    "sharded_logpdf_basis",
     "sharded_posterior_marginals",
     "sharded_posterior_rand",
     "sharded_steady_logpdf",

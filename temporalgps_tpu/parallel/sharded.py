@@ -717,6 +717,187 @@ def sharded_steady_logpdf(
 
 
 # ---------------------------------------------------------------------------
+# Distributed basis-marginalised logpdf (det-block sum kernels, c3 family)
+# ---------------------------------------------------------------------------
+
+
+def sharded_logpdf_basis(
+    fx,
+    y,
+    mesh: Mesh,
+    *,
+    time_axis: str = "t",
+    n_warmup: Optional[int] = None,
+    block_len: int = 16,
+):
+    """Distributed exact lml of a sum kernel with deterministic components.
+
+    The sharded analogue of gp.lti_sde engine="basis"/sub_engine="steady"
+    (ops/basis.grams_steady): split the kernel into stochastic +
+    deterministic summands (gp.lti_sde.basis_setup), filter only the
+    REDUCED stochastic model, and marginalise the deterministic basis
+    weights by Woodbury from innovation Gram matrices. Time is sharded:
+
+      * the exact f64 warmup head (k steps) and the O(1) steady constants
+        are REPLICATED on every chip (constant work, no comms);
+      * each chip reduces its late chunk once with a ZERO chunk-start to a
+        flat-(R*D) affine aggregate, ONE all_gather of O(n_dev * R*D)
+        exchanges the aggregates, an exclusive kron-structured fold gives
+        every chip its exact start state, and a second local pass computes
+        the chunk's innovations;
+      * the per-chip (R, R) Gram contributions are psum-ed and the
+        Woodbury lml assembles replicated.
+
+    Chip 0's warmup-covered steps are masked out and the head's final
+    filtering mean is injected through the input sequence at local index
+    k-1, keeping the program SPMD-uniform (same trick as
+    sharded_steady_logpdf). Contract = ops/basis.grams_steady: Fill
+    forward model, scalar emissions, fully-observed y, approximation
+    error rho^(2 n_warmup). The reference trains these kernels
+    single-process in f64 (reference: src/gp/lti_sde.jl:255-320); it has
+    no distributed execution.
+    """
+    from ..gp.lti_sde import basis_setup
+    from ..ops import basis as bops
+    from ..ops import steady
+
+    model, M_cols, P0 = basis_setup(fx)
+    if M_cols is None:
+        return sharded_steady_logpdf(
+            model, y, mesh, time_axis=time_axis, n_warmup=n_warmup,
+            block_len=block_len,
+        )
+    if not model.trans.forward:
+        raise NotImplementedError("sharded_logpdf_basis: forward models only")
+    if not steady.supported(model):
+        raise ValueError(
+            "sharded_logpdf_basis requires an all-Fill reduced model"
+        )
+    if not isinstance(model.emis, em.ScalarEmissions):
+        raise ValueError("sharded_logpdf_basis: scalar emissions only")
+
+    D = model.latent_dim
+    x0 = model.trans.x0
+    dtype = x0.dtype
+    hi = steady._hi(dtype)
+    N = len(model)
+    y = jnp.asarray(y, dtype)
+    Y = jnp.concatenate([y[:, None], M_cols], axis=-1)  # (N, R)
+    R = Y.shape[-1]
+    w_off = jnp.zeros(R, dtype).at[0].set(1.0)
+
+    _check_divisible(N, mesh, time_axis)
+    n_dev = mesh.shape[time_axis]
+    n_loc = N // n_dev
+    k = steady._round_warmup(
+        n_warmup or steady.DEFAULT_WARMUP, N, base=64
+    )
+    if k >= n_loc and n_warmup is not None and n_warmup < n_loc:
+        # honor an explicit warmup that rounding would push past the
+        # per-chip chunk (B_w degrades gracefully via the halving loop)
+        k = int(n_warmup)
+    if k >= n_loc:
+        raise ValueError(
+            f"per-chip chunk length {n_loc} must exceed the warmup {k}; "
+            "use fewer chips or a shorter warmup"
+        )
+    B_w = max(64, k // 64)
+    while k % B_w:
+        B_w //= 2
+    Y_warm = Y[:k]
+
+    treedef, fill_mask, arrs, fills = _flatten_params(model)
+    assert not arrs, "all-Fill checked above"
+    fill_specs = tuple(P() for _ in fills)
+
+    def local_fn(Y_loc, Y_warm_loc, fills_loc, x0_loc):
+        from ..models.gauss_markov import GaussMarkov
+        from ..models.lgssm import LGSSM
+
+        (As_l, offs_l, Qs_l), emis_l = _rebuild(
+            treedef, fill_mask, [], list(fills_loc), n_loc
+        )
+        m_loc = LGSSM(
+            GaussMarkov(
+                As=As_l, offs=offs_l, Qs=Qs_l,
+                x0=Gaussian(*x0_loc), forward=True,
+                det_blocks=model.trans.det_blocks,
+            ),
+            emis_l,
+        )
+
+        # replicated: exact f64 head + O(1) steady constants
+        ld_w, gram_w, m_k, _ = bops.grams_block(
+            bops._astype_tree(steady._trim(m_loc, k), hi),
+            Y_warm_loc.astype(hi), w_off.astype(hi),
+            n_blocks=B_w, final_state=True,
+        )
+        ops = steady._steady_ops(m_loc, dtype, N, n_warmup=k)
+        G, K, c_w = ops["G"], ops["K"], ops["c_w"]
+        A0, a0, H, h, S = ops["A0"], ops["a0"], ops["H"], ops["h"], ops["S"]
+
+        I_R = jnp.eye(R, dtype=dtype)
+        GF = jnp.kron(I_R, G)
+        W_loc = Y_loc @ jnp.kron(I_R, K[:, None]).T + (
+            w_off[:, None] * c_w[None, :]
+        ).reshape(-1)[None, :]  # (n_loc, R*D)
+
+        idx = jax.lax.axis_index(time_axis)
+        t_loc = jnp.arange(n_loc)
+        on0 = idx == 0
+        m_k_flat = m_k.astype(dtype).T.reshape(-1)
+        W_loc = jnp.where((on0 & (t_loc < k))[:, None], 0.0, W_loc)
+        W_loc = jnp.where(
+            (on0 & (t_loc == k - 1))[:, None], m_k_flat[None, :], W_loc
+        )
+
+        # pass 1: zero-start chunk reduction -> affine aggregate
+        z = steady.affine_const_states(
+            GF, W_loc, jnp.zeros((R * D,), dtype), block_len=block_len
+        )
+        v_c = z[-1]
+        flag = jnp.where(on0, 0.0, 1.0)  # chip 0's start is forced to zero
+        GL = _mat_pow(G, n_loc)
+
+        all_v = jax.lax.all_gather(v_c, time_axis)      # (n_dev, R*D)
+        all_f = jax.lax.all_gather(flag, time_axis)     # (n_dev,)
+
+        def fold(x, fv):
+            f, v = fv
+            xk = (x.reshape(R, D) @ GL.T).reshape(-1)   # kron(I_R, G^n) x
+            return f * xk + v, x
+
+        _, excl = jax.lax.scan(
+            fold, jnp.zeros((R * D,), dtype), (all_f, all_v)
+        )
+        x_c = jnp.where(on0, 0.0, excl[idx])
+
+        # pass 2: exact chunk-start -> local innovations
+        z2 = steady.affine_const_states(GF, W_loc, x_c, block_len=block_len)
+        g = A0.T @ H
+        c0 = H @ a0 + h
+        Zg = jnp.kron(I_R, g[:, None])                  # (R*D, R)
+        z_prev = jnp.concatenate([x_c[None], z2[:-1]], axis=0)
+        E = Y_loc - z_prev @ Zg - c0 * w_off[None, :]
+        val = jnp.where(on0 & (t_loc < k), 0.0, 1.0)
+        E = E * val[:, None]
+        gram = gram_w.astype(dtype) + jax.lax.psum(E.T @ E, time_axis) / S
+        ld = ld_w.astype(dtype) + (N - k) * ops["logdetS"]
+        return ld, gram
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(time_axis, None), P(), fill_specs, (P(), P())),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    with precision_ctx(D):
+        ld, gram = fn(Y, Y_warm, tuple(fills), (x0.mean, x0.cov))
+        return bops.marginalised_lml(ld, gram, P0, N, dtype)
+
+
+# ---------------------------------------------------------------------------
 # Distributed DTC ELBO (the sparse spatio-temporal training objective)
 # ---------------------------------------------------------------------------
 

@@ -400,3 +400,49 @@ def test_sharded_elbo_grad_matches_single(rng):
     v_1, g_1 = jax.jit(jax.value_and_grad(obj_single))(p)
     np.testing.assert_allclose(float(v_s), float(v_1), rtol=1e-8)
     np.testing.assert_allclose(float(g_s), float(g_1), rtol=1e-6)
+
+
+def test_sharded_logpdf_basis_matches_single(rng):
+    """Distributed basis-marginalised lml (det-block sum kernel) == the
+    single-device basis/steady engine, value AND reverse-mode gradient."""
+    from temporalgps_tpu.gp import ApproxPeriodic
+    from temporalgps_tpu.gp import lti_sde as api
+    from temporalgps_tpu.parallel import sharded_logpdf_basis
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    N2 = 1024
+    x = RegularSpacing(0.0, 0.05, N2)
+    y = jnp.asarray(rng.standard_normal(N2))
+
+    def loss(p, which):
+        fx = to_sde(
+            GP(jnp.exp(p[0]) * Matern52() + 0.3 * ApproxPeriodic(0.5))
+        )(x, jnp.exp(p[1]))
+        if which == "sharded":
+            return sharded_logpdf_basis(fx, y, mesh, n_warmup=64)
+        return api.logpdf(fx, y, engine="basis", sub_engine=which,
+                          n_warmup=64, nan_fallback=False)
+
+    p0 = jnp.asarray([0.1, -1.0])
+    v_sh, g_sh = jax.jit(jax.value_and_grad(lambda p: loss(p, "sharded")))(p0)
+    v_st, g_st = jax.jit(jax.value_and_grad(lambda p: loss(p, "steady")))(p0)
+    v_sq = float(jax.jit(lambda p: loss(p, "sequential"))(p0))
+    np.testing.assert_allclose(float(v_sh), float(v_st), rtol=1e-10)
+    np.testing.assert_allclose(float(v_sh), v_sq, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_st),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_logpdf_basis_no_det_fallback(rng):
+    """A det-free kernel routes to sharded_steady_logpdf."""
+    from temporalgps_tpu.parallel import sharded_logpdf_basis
+
+    mesh = Mesh(np.array(jax.devices()), ("t",))
+    x = RegularSpacing(0.0, 0.2, N)
+    y = jnp.asarray(rng.standard_normal(N))
+    fx = to_sde(GP(0.8 * Matern52()))(x, 0.2)
+    lp = float(jax.jit(
+        lambda y_: sharded_logpdf_basis(fx, y_, mesh, n_warmup=24))(y))
+    model = build_lgssm(fx)
+    lp_seq = float(logpdf(model, y, engine="sequential"))
+    np.testing.assert_allclose(lp, lp_seq, rtol=1e-10)
