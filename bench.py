@@ -447,11 +447,15 @@ def config3(partial=None):
         g_ref = np.asarray(
             jax.jit(jax.grad(loss64))(jnp.asarray(np.log([1.0, 0.5, 0.1])))
         )
+    # FORWARD-mode gradient: the supported TPU path for this engine —
+    # reverse-mode through the f64-emulated warmup-head/constants scans is
+    # structurally wrong on v5e (round 5, probes/c3_key_bisect.py; fwd ==
+    # rev on CPU at 3.4e-5, probes/c3_fix_check.py validates fwd on TPU).
     g_bs = np.asarray(
         jax.jit(
-            jax.grad(lambda q: loss(
+            jax.jacfwd(lambda q: loss(
                 q, y_c, x_c, "steady",
-                {"n_warmup": kws, "nan_fallback": False},
+                {"n_warmup": kws, "nan_fallback": False, "fwd_mode": True},
             ))
         )(p0)
     )
@@ -492,7 +496,9 @@ def config3(partial=None):
     )
     assert rel < 5e-3, "c3 engine mismatch"
 
-    g_fast = jax.jit(lambda p, y_: jax.value_and_grad(loss)(p, y_)[1][0])
+    g_fast = jax.jit(lambda p, y_: jax.jacfwd(
+        lambda q: loss(q, y_, kw={"n_warmup": k, "nan_fallback": False,
+                                  "fwd_mode": True}))(p)[0])
     dt_g, cs, _ = timed(g_fast, p0, y, iters=3 if SMOKE else 10)
     steps_per_sec = N / dt_g
     partial["lp_grad_ms"] = round(dt_g * 1e3, 2)

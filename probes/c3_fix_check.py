@@ -92,9 +92,12 @@ def main():
     x_c = RegularSpacing(jnp.asarray(0.0, dtype), jnp.asarray(0.001, dtype), N_c)
     loss_c = make_loss(N_c, x_c)
     v = float(jax.jit(lambda p: loss_c(p, y_all[:N_c], n_warmup=k_c))(p0))
-    g = np.asarray(jax.jit(jax.grad(
-        lambda p: loss_c(p, y_all[:N_c], n_warmup=k_c)))(p0))
-    print(f"v0 value={v:.4f} grad={g}", flush=True)
+    # FORWARD-mode gradient: the supported TPU path for this engine —
+    # reverse through the f64-emulated scans is structurally wrong on v5e
+    # (probes/c3_key_bisect.py; ops/basis.logpdf_basis docstring).
+    g = np.asarray(jax.jit(jax.jacfwd(
+        lambda p: loss_c(p, y_all[:N_c], n_warmup=k_c, fwd_mode=True)))(p0))
+    print(f"v0 value={v:.4f} fwd-grad={g}", flush=True)
     assert np.isfinite(v) and np.isfinite(g).all(), "v0 still NaN"
 
     def loss64(p):
@@ -146,8 +149,10 @@ def main():
           flush=True)
     assert np.isfinite(val_f) and rel < 5e-3
 
-    g_fast = jax.jit(lambda p, y_: jax.value_and_grad(
-        lambda q: loss_m(q, y_, n_warmup=k))(p))
+    g_fast = jax.jit(lambda p, y_: (
+        loss_m(p, y_, n_warmup=k),
+        jax.jacfwd(lambda q: loss_m(q, y_, n_warmup=k, fwd_mode=True))(p),
+    ))
     _, (v1, g1) = timed("v1 lp+grad[basis/steady] N=1M", g_fast, p0, y_all,
                         iters=5)
     g1 = np.asarray(g1)

@@ -64,9 +64,11 @@ _W = {}
 
 
 def w_like(tag, arr):
+    # store HOST arrays: a jnp array created inside a trace is a tracer and
+    # caching it across traces is a leak
     if tag not in _W:
-        _W[tag] = jnp.asarray(rngw.standard_normal(arr.shape), jnp.float64)
-    return _W[tag].astype(arr.dtype)
+        _W[tag] = rngw.standard_normal(arr.shape)
+    return jnp.asarray(_W[tag], arr.dtype)
 
 
 def head_outputs(model, Y, w_off):
@@ -146,6 +148,9 @@ def main():
     print("devices:", jax.devices(), flush=True)
     p0 = jnp.log(jnp.asarray([1.0, 0.5, 0.1], dtype))
     cpu = jax.local_devices(backend="cpu")[0]
+    import os
+
+    sel = os.environ.get("C3_BISECT_ONLY", "")
     cases = [
         ("A head", loss_A),
         ("C consts", loss_C),
@@ -153,6 +158,8 @@ def main():
         ("B2 tail+consts", lambda p: loss_tail(p, True, False)),
         ("FULL", loss_full),
     ]
+    if sel:
+        cases = [c for c in cases if c[0].split()[0] in sel.split(",")]
     for name, fn in cases:
         t0 = time.perf_counter()
         try:

@@ -68,10 +68,21 @@ def r2(P):
         return jnp.sum(psd.chol_solve(L, B0) * W)
 
 
+# ALL randomness drawn at module scope: a draw inside a loss function is
+# re-drawn per trace, so the TPU and CPU jits would compare DIFFERENT
+# functions (first version of this probe did exactly that for r3-r5).
+A_ELEM = jnp.asarray(0.9 * np.eye(D) + 0.05 * rng.standard_normal((D, D)),
+                     jnp.float64)
+A5 = 0.9 * np.eye(D) + 0.02 * rng.standard_normal((D, D))
+H5 = rng.standard_normal(D)
+G6 = 0.95 * np.eye(80) + 0.001 * rng.standard_normal((80, 80))
+W6 = rng.standard_normal((2048, 80))
+M6 = rng.standard_normal(80)
+
+
 def mk_elem(P):
-    A = jnp.asarray(0.9 * np.eye(D) + 0.05 * rng.standard_normal((D, D)),
-                    jnp.float64)
-    return (A, v0, P, 0.1 * v0, psd.symmetrize(0.1 * P + 0.2 * jnp.eye(D)))
+    return (A_ELEM, v0, P, 0.1 * v0,
+            psd.symmetrize(0.1 * P + 0.2 * jnp.eye(D)))
 
 
 def r3(P):
@@ -101,8 +112,7 @@ def r5(P):
     from temporalgps_tpu.utils.gaussian import Gaussian
 
     N = 4096
-    A = jnp.asarray(0.9 * np.eye(D) + 0.02 * rng.standard_normal((D, D)),
-                    jnp.float32)
+    A = jnp.asarray(A5, jnp.float32)
     Pf = P.astype(jnp.float32)
     model = LGSSM(
         GaussMarkov(
@@ -112,7 +122,7 @@ def r5(P):
             forward=True,
         ),
         em.ScalarEmissions(
-            H=Fill(jnp.asarray(rng.standard_normal(D), jnp.float32), N),
+            H=Fill(jnp.asarray(H5, jnp.float32), N),
             h=Fill(jnp.asarray(0.1, jnp.float32), N),
             s=Fill(jnp.asarray(0.1, jnp.float32), N),
         ),
@@ -128,40 +138,56 @@ def r5(P):
 def r6(P):
     from temporalgps_tpu.ops import steady as sd
 
-    DD = 80
-    M = 2048
-    G = jnp.asarray(
-        0.95 * np.eye(DD) + 0.001 * rng.standard_normal((DD, DD)), jnp.float32
-    ) * (P[0, 0] / P[0, 0])
-    w = jnp.asarray(rng.standard_normal((M, DD)), jnp.float32) * P[0, 0].astype(
+    G = jnp.asarray(G6, jnp.float32) * (P[0, 0] / P[0, 0]).astype(
         jnp.float32
     )
-    m0 = jnp.asarray(rng.standard_normal(DD), jnp.float32)
+    w = jnp.asarray(W6, jnp.float32) * P[0, 0].astype(jnp.float32)
+    m0 = jnp.asarray(M6, jnp.float32)
     with jax.default_matmul_precision("highest"):
         out = sd.affine_const_states(G, w, m0, block_len=16)
     return jnp.sum(out * 1e-3)
 
 
 def main():
+    import os
+
     print("devices:", jax.devices(), flush=True)
     cpu = jax.local_devices(backend="cpu")[0]
-    for name, fn in [("r0 chol", r0), ("r1 tri_solve", r1),
-                     ("r2 chol_solve", r2), ("r3 combine", r3),
-                     ("r4 scan-squarings", r4), ("r5 steady_ops", r5),
-                     ("r6 acs f32", r6)]:
-        t0 = time.perf_counter()
-        try:
-            g_t = np.asarray(jax.jit(jax.grad(fn))(P0), np.float64)
-            with jax.default_device(cpu):
-                g_c = np.asarray(jax.jit(jax.grad(fn))(P0), np.float64)
-            rel = float(np.max(np.abs(g_t - g_c) / (np.abs(g_c) + 1e-12)))
-            print(f"[{name}] ({time.perf_counter()-t0:.0f}s) rel={rel:.2e}",
-                  flush=True)
-            if rel > 1e-6:
-                print(f"   tpu={g_t.ravel()[:6]}\n   cpu={g_c.ravel()[:6]}",
-                      flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"[{name}] RAISED {type(e).__name__}: {e}", flush=True)
+    sel = os.environ.get("F64_REV_ONLY", "")
+    cases = [("r0 chol", r0), ("r1 tri_solve", r1),
+             ("r2 chol_solve", r2), ("r3 combine", r3),
+             ("r4 scan-squarings", r4), ("r5 steady_ops", r5),
+             ("r6 acs f32", r6)]
+    if sel:
+        cases = [c for c in cases if c[0].split()[0] in sel.split(",")]
+    # Hypothesis (round 5): the 'highest' matmul-precision attribute breaks
+    # XLA:TPU f64 emulation (NaN through the native chol/tri_solve custom
+    # calls, silently-wrong numbers through the compact paths) — every
+    # wrong-grad path runs under precision_ctx(D>4) = 'highest'; the clean
+    # forward probes ran without it. Each case therefore runs under both.
+    for prec in (None, "highest"):
+        import contextlib
+
+        ctx = (jax.default_matmul_precision("highest") if prec
+               else contextlib.nullcontext())
+        for name, fn in cases:
+            t0 = time.perf_counter()
+            tag = f"{name}{' HI' if prec else ''}"
+            try:
+                with ctx:
+                    f = jax.jit(jax.grad(fn))
+                    g_t = np.asarray(f(P0), np.float64)
+                    with jax.default_device(cpu):
+                        g_c = np.asarray(jax.jit(jax.grad(fn))(P0),
+                                         np.float64)
+                rel = float(np.max(np.abs(g_t - g_c) / (np.abs(g_c) + 1e-12)))
+                print(f"[{tag}] ({time.perf_counter()-t0:.0f}s) "
+                      f"rel={rel:.2e}", flush=True)
+                if rel > 1e-6:
+                    print(f"   tpu={g_t.ravel()[:6]}\n"
+                          f"   cpu={g_c.ravel()[:6]}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[{tag}] RAISED {type(e).__name__}: {e}", flush=True)
     print("micro done", flush=True)
 
 

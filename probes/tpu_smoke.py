@@ -171,23 +171,28 @@ def _loss64_g1(p):
 def g3():
     N, k = 4096, 2048
 
-    def loss(p, dt):
+    def loss(p, dt, fwd=False):
         s2, sc, noise = jnp.exp(p.astype(dt))
         x = RegularSpacing(jnp.asarray(0.0, dt), jnp.asarray(0.001, dt), N)
         kern = (s2 * Matern52() + 0.6 * Matern32().stretch(sc)
                 + 0.3 * ApproxPeriodic(0.5))
         fx = to_sde(GP(kern), ArrayStorage(dt))(x, noise)
         return api.logpdf(fx, jnp.asarray(y_np[:N], dt), engine="basis",
-                          sub_engine="steady", n_warmup=k, nan_fallback=False)
+                          sub_engine="steady", n_warmup=k, nan_fallback=False,
+                          fwd_mode=fwd)
 
     p64 = jnp.log(jnp.asarray([1.0, 0.5, 0.1]))
     with jax.default_device(cpu_dev()):
         v64, g64 = jax.jit(jax.value_and_grad(
             lambda p: loss(p, jnp.float64)))(p64)
-    v, g = jax.jit(jax.value_and_grad(
-        lambda p: loss(p, dtype)))(p64.astype(dtype))
+    v = jax.jit(lambda p: loss(p, dtype))(p64.astype(dtype))
+    # FORWARD-mode gradient: the supported TPU path for this engine —
+    # reverse through the f64-emulated scans is structurally wrong on v5e
+    # (probes/c3_key_bisect.py; ops/basis.logpdf_basis docstring).
+    g = jax.jit(jax.jacfwd(
+        lambda p: loss(p, dtype, fwd=True)))(p64.astype(dtype))
     check("g3 basis/steady value", float(v), float(v64), 5e-3)
-    check("g3 basis/steady rev-grad", g, np.asarray(g64), 1e-3)
+    check("g3 basis/steady fwd-grad", g, np.asarray(g64), 1e-3)
 
 
 def g4():

@@ -386,7 +386,7 @@ def basis_setup(fx: FiniteLTISDE):
 
 def _logpdf_basis(fx: FiniteLTISDE, y, *, sub_engine=None, n_blocks=None,
                   n_warmup=None, block_len=16, nan_fallback=True,
-                  head_dtype=None):
+                  head_dtype=None, fwd_mode=False):
     """Marginalised-basis lml (see ops/basis.py). NaNs in y are missing
     observations: the usual large-variance fill of the reduced model makes
     every column's innovation contribution vanish at missing steps, and the
@@ -416,6 +416,7 @@ def _logpdf_basis(fx: FiniteLTISDE, y, *, sub_engine=None, n_blocks=None,
             model_, Y, w_off, P0, engine=eng, n_blocks=n_blocks,
             n_warmup=n_warmup, block_len=block_len,
             head_dtype=head_dtype if eng == "steady" else None,
+            fwd_mode=fwd_mode,
         ) + comp
 
     if sub_engine == "steady":

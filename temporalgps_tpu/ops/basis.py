@@ -57,12 +57,20 @@ def _mT(X):
 # sequential engine (ground truth)
 # ---------------------------------------------------------------------------
 
-def grams_sequential(model, Y, w_off):
+def grams_sequential(model, Y, w_off, *, final_state=False):
     """(logdetV, C) with C[i,j] = c_i' V^{-1} c_j over the columns of Y.
 
     Y: (N, R) observation columns. w_off: (R,) offset mask — 1 for columns
     that see the model's affine offsets (the data column), 0 for pure-linear
     columns (basis functions). Scalar-emission forward models only.
+
+    final_state=True additionally returns the final per-column filtering
+    means (D, R) and the shared covariance (D, D) — the grams_steady head
+    uses these on TPU, where this recursion is the numerically-healthy f64
+    form: the covariance chain starts at the O(1) prior and every product
+    is O(1) x O(1), unlike the block engine's phase-1 element algebra whose
+    tiny C legs (~Q magnitudes) underflow the error limb of XLA:TPU's
+    float32-pair f64 emulation (probes/f64_scale_sweep.py).
     """
     t = model.trans
     assert t.forward and isinstance(model.emis, em.ScalarEmissions)
@@ -96,7 +104,9 @@ def grams_sequential(model, Y, w_off):
         jnp.zeros((R, R), dtype),
         jnp.zeros((), dtype),
     )
-    _, (_, _, gram, ld) = scan_emit(step, (params, Y), init)
+    _, (m_f, P_f, gram, ld) = scan_emit(step, (params, Y), init)
+    if final_state:
+        return ld, gram, m_f, P_f
     return ld, gram
 
 
@@ -263,7 +273,7 @@ def _astype_tree(tree, dt):
 
 
 def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
-                 n_blocks=None, head_dtype=None):
+                 n_blocks=None, head_dtype=None, fwd_mode=False):
     """Steady-state multi-column innovation grams (see grams_sequential).
 
     For an all-Fill reduced model the Kalman gain sequence is
@@ -321,15 +331,36 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
             "head_dtype=float64 requested but jax_enable_x64 is off — the "
             "head would silently downcast to float32"
         )
-    ld_w, gram_w, m_k, _ = grams_block(
-        _astype_tree(sd._trim(model, k), hi),
-        Y[:k].astype(hi),
-        w_off.astype(hi),
-        n_blocks=B_w,
-        final_state=True,
-    )
+    # On TPU the f64 head MUST be the sequential recursion: the block
+    # engine's phase-1/2 element algebra manipulates tiny C legs (~Q
+    # magnitudes, dt^k scales) multiplicatively, and the error limb of
+    # XLA:TPU's float32-pair f64 emulation underflows there — measured
+    # garbage values AND grads at the c3 shapes while CPU is exact
+    # (probes/f64_scale_sweep.py, probes/c3_key_bisect.py, round 5). The
+    # sequential covariance chain starts at the O(1) prior, so every
+    # product is O(1) x O(1) and the emulation holds to ~2^-48.
+    if jax.default_backend() == "tpu" and hi == jnp.float64:
+        ld_w, gram_w, m_ks, P_k = grams_sequential(
+            _astype_tree(sd._trim(model, k), hi),
+            Y[:k].astype(hi),
+            w_off.astype(hi),
+            final_state=True,
+        )
+        m_k = m_ks
+    else:
+        ld_w, gram_w, m_k, P_k = grams_block(
+            _astype_tree(sd._trim(model, k), hi),
+            Y[:k].astype(hi),
+            w_off.astype(hi),
+            n_blocks=B_w,
+            final_state=True,
+        )
 
-    ops = sd._steady_ops(model, dtype, N, n_warmup=k)
+    # Seed the constants with the head's final covariance: 3 Newton
+    # polish steps reach f64 round-off (steady._refine_P_ss), skipping
+    # the element-squaring chain (its compile bomb, latency floor, and
+    # TPU-emulation underflow).
+    ops = sd._steady_ops(model, dtype, N, n_warmup=k, P_seed=P_k)
     y_late = Y[k:]  # (M, R)
     Mlen = N - k
     R = Y.shape[-1]
@@ -350,7 +381,8 @@ def grams_steady(model, Y, w_off, *, n_warmup=None, block_len=16,
     ).reshape(-1)[None, :]  # (M, R*D)
     m0 = m_k.astype(dtype)  # (D, R)
     meansF = sd.affine_const_states(
-        GF, WF, m0.T.reshape(-1), block_len=block_len
+        GF, WF, m0.T.reshape(-1), block_len=block_len,
+        custom_vjp=not fwd_mode,
     )  # (M, R*D)
 
     # innovations e_t = y_t - (H (A0 m_{t-1} + a0 w_off) + h w_off)
@@ -398,14 +430,25 @@ def marginalised_lml(ld, gram, P0, N, dtype):
 
 
 def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None,
-                 n_warmup=None, block_len=16, head_dtype=None):
+                 n_warmup=None, block_len=16, head_dtype=None,
+                 fwd_mode=False):
     """Marginalised lml: `model` is the reduced stochastic LGSSM, Y the
     (N, 1 + d_det) column stack [y - 0 | M] (column 0 = data), w_off the
     offset mask, P0 the (d_det, d_det) basis-weight prior covariance.
 
     engine: "sequential" (ground truth), "block" (exact, parallel), or
     "steady" (constant-gain late segment, ops/steady.py approximation
-    contract — requires an all-Fill model and fully-observed data)."""
+    contract — requires an all-Fill model and fully-observed data).
+
+    fwd_mode=True bypasses the custom reverse rules so FORWARD-mode AD
+    can flow through. On the TPU backend this is THE supported gradient
+    path for this engine: reverse-mode through the f64-emulated warmup
+    head / steady-constants scans computes structurally wrong cotangents
+    on v5e (up to 6 orders off at the c3 model's near-identity-A / tiny-Q
+    element scales, probes/c3_key_bisect.py + probes/f64_rev_micro.py —
+    every micro op and the whole graph on CPU are exact; the same graphs'
+    forward values on TPU are exact). Reverse mode remains fully
+    supported on CPU."""
     from ..config import precision_ctx
 
     dtype = model.trans.x0.dtype
@@ -417,7 +460,7 @@ def logpdf_basis(model, Y, w_off, P0, *, engine="block", n_blocks=None,
         elif engine == "steady":
             ld, gram = grams_steady(
                 model, Y, w_off, n_warmup=n_warmup, block_len=block_len,
-                n_blocks=n_blocks, head_dtype=head_dtype,
+                n_blocks=n_blocks, head_dtype=head_dtype, fwd_mode=fwd_mode,
             )
         else:
             ld, gram = grams_block(model, Y, w_off, n_blocks=n_blocks)

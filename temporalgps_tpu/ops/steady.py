@@ -166,7 +166,7 @@ def _steady_filter_cov(model, N, dtype, n_warmup=None):
         return psd.symmetrize(assoc._combine_filter(prior, E)[2])
 
 
-def affine_const_states(G, w, m0, *, block_len=16):
+def affine_const_states(G, w, m0, *, block_len=16, custom_vjp=True):
     """States m_t = G m_{t-1} + w_t, t = 1..M, m_0 = m0, with CONSTANT G.
 
     w: (M, D). Returns (M, D). TPU-native schedule: G-powers G^0..G^L once
@@ -183,9 +183,16 @@ def affine_const_states(G, w, m0, *, block_len=16):
     blew up the TPU compile at M ~ 1e6). The ambient matmul precision is
     captured HERE and re-applied inside the bwd: custom_vjp bwd traces
     outside the caller's precision scope, and the TPU bf16 default
-    corrupts the adjoint recursion (config.ambient_matmul_precision)."""
+    corrupts the adjoint recursion (config.ambient_matmul_precision).
+
+    custom_vjp=False bypasses the custom reverse rule so FORWARD-mode AD
+    (jax.jvp/jacfwd) can flow through — custom_vjp functions reject jvp.
+    The transpose-blowup the custom rule guards against only exists in
+    reverse mode; plain XLA AD handles the jvp fine."""
     from ..config import ambient_matmul_precision
 
+    if not custom_vjp:
+        return _acs_impl(G, w, m0, block_len)
     return _acs(G, w, m0, block_len, ambient_matmul_precision())
 
 
@@ -286,20 +293,78 @@ def affine_const_states_multi(G, W, m0, *, block_len=16):
     return jnp.swapaxes(out.reshape(M, R, D), 1, 2)
 
 
-def _steady_ops(model, dtype, N, n_warmup=None):
+def _refine_P_ss(model, P_seed, N, n_warmup, hi):
+    """Polish a filtering-covariance seed to the Riccati fixed point by
+    defect correction (Kleinman-flavoured Newton; scalar emissions).
+
+    With F the one-step filter-covariance map and G the closed loop at P,
+    F(P + D) ~ F(P) + G D G', so the fixed-point correction solves the
+    discrete Lyapunov equation D - G D G' = F(P) - P, done by doubling
+    (X <- X + G X G', G <- G G) — log-depth, and every quantity stays
+    O(1): this is the TPU-safe replacement for backing the constants out
+    of the element-squaring chain, whose tiny-Q element algebra underflows
+    the error limb of the float32-pair f64 emulation
+    (probes/f64_scale_sweep.py). Quadratic convergence: a warmup-head seed
+    at rho^(2k) ~ tol reaches f64 round-off in 3 iterations."""
+    import math
+
+    A = model.trans.As.value.astype(hi)
+    Q = psd.symmetrize(model.trans.Qs.value.astype(hi))
+    e = lti._single(model.emis)
+    H, s = e.H.astype(hi), e.s.astype(hi)
+    t_cap = min(N, 8 * (n_warmup or DEFAULT_WARMUP))
+    levels = max(1, math.ceil(math.log2(max(t_cap, 2))))
+
+    def F(P):
+        Pp = psd.symmetrize(A @ P @ A.T + Q)
+        S = H @ Pp @ H + s
+        K = (Pp @ H) / S
+        Pf = psd.symmetrize(Pp - K[:, None] * (H @ Pp)[None, :])
+        return Pf, K
+
+    def newton(P, _):
+        Pn, K = F(P)
+        G = A - K[:, None] * (H @ A)[None, :]  # d(filtered)/d(prev) root
+
+        def dbl(carry, __):
+            X, Gj = carry
+            return (psd.symmetrize(X + Gj @ X @ Gj.T), Gj @ Gj), None
+
+        (X, _), _ = jax.lax.scan(
+            dbl, (psd.symmetrize(Pn - P), G), None, length=levels
+        )
+        return psd.symmetrize(P + X), None
+
+    P, _ = jax.lax.scan(newton, psd.symmetrize(P_seed.astype(hi)), None,
+                        length=3)
+    return P
+
+
+def _steady_ops(model, dtype, N, n_warmup=None, P_seed=None):
     """Constant late-segment operators from the converged covariance.
 
     Everything here is O(1)-sized (D- and Dout-dim), computed in `_hi`
     precision, and cast to the working dtype on the way out — see `_hi`.
     Runs under psd.latency_mode(): unbatched small solves would otherwise
-    each pay XLA custom-call latency (probes/f64_combine_micro.py)."""
+    each pay XLA custom-call latency (probes/f64_combine_micro.py).
+
+    P_seed (scalar emissions only) seeds _refine_P_ss instead of running
+    the element-squaring chain. Callers that already ran an exact k-step
+    warmup filter pass the head's final covariance: the polish reaches
+    f64 round-off in 3 Newton steps, removing the chain's N-independent
+    compile + runtime floor (docs/ROADMAP.md item 5) and, on TPU, the
+    emulation-underflow garbage the chain produces at tiny-Q element
+    scales (probes/f64_scale_sweep.py, round 5)."""
     with psd.latency_mode():
-        return _steady_ops_impl(model, dtype, N, n_warmup)
+        return _steady_ops_impl(model, dtype, N, n_warmup, P_seed)
 
 
-def _steady_ops_impl(model, dtype, N, n_warmup=None):
+def _steady_ops_impl(model, dtype, N, n_warmup=None, P_seed=None):
     hi = _hi(dtype)
-    P_ss = _steady_filter_cov(model, N, dtype, n_warmup)  # already hi
+    if P_seed is not None and isinstance(model.emis, em.ScalarEmissions):
+        P_ss = _refine_P_ss(model, P_seed, N, n_warmup, hi)
+    else:
+        P_ss = _steady_filter_cov(model, N, dtype, n_warmup)  # already hi
     A0 = model.trans.As.value.astype(hi)
     a0 = model.trans.offs.value.astype(hi)
     Q0 = model.trans.Qs.value.astype(hi)

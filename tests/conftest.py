@@ -35,7 +35,13 @@ from temporalgps_tpu.config import host_cpu_cache_tag  # noqa: E402
 jax.config.update(
     "jax_compilation_cache_dir", f"/tmp/tgps_test_cache_{host_cpu_cache_tag()}"
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Persist only expensive compiles: XLA:CPU executable DESERIALIZATION has
+# segfaulted on this box (round 5, twice, same spot: a disk read-back of a
+# small same-boot scan executable mid-suite after in-memory eviction, jax
+# compilation_cache.get_executable_and_time). Cheap graphs recompile faster
+# than they deserialize anyway; the 2-10x warm-rerun win comes from the big
+# unrolled graphs, which still persist.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
