@@ -51,3 +51,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(123456)
+
+
+@pytest.fixture(autouse=True)
+def _bound_memory_maps():
+    """Keep the process's mmap count under vm.max_map_count (65530 default).
+
+    Every XLA:CPU executable holds LLVM JIT mappings; a full-suite run
+    accumulates thousands of compiled graphs and the map count was measured
+    growing 6.7k -> 42k within minutes, after which mmap failures surface
+    as SEGFAULTS inside backend_compile_and_load / cache deserialization
+    (round 5, three crashed suite runs at ~45%). Dropping the jit caches
+    unloads executables; the persistent compile cache makes the few
+    re-compiles cheap."""
+    yield
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 35_000:
+        jax.clear_caches()
