@@ -698,7 +698,10 @@ def config5(partial=None):
             s2, sc, noise = jnp.exp(p)
             kern = s2 * Separable(EQ().stretch(sc), Matern52())
             fx = to_sde(GP(kern), ArrayStorage(dtype))(x, noise)
-            return elbo(fx, y_, z, engine=engine)
+            # dense bench data: skip the traced-NaN lax.cond (it compiles
+            # the block missing-data branch too — reverse-mode HBM bomb at
+            # Nt=1M and most of the cold compile)
+            return elbo(fx, y_, z, engine=engine, nan_fallback=False)
 
         return y, elbo_fn
 

@@ -198,7 +198,7 @@ def dtc(fx, y, z_r, *, engine=None):
     return api_logpdf(dtcify(z_r, fx), y, engine=engine)
 
 
-def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
+def elbo(fx, y, z_r, *, engine=None, n_warmup=None, nan_fallback=True):
     """Titsias-style ELBO in state-space form
     (reference: pseudo_point.jl:62-82).
 
@@ -206,7 +206,14 @@ def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
     NaN raises ValueError; under jit (traced y) a runtime lax.cond falls
     back to the block engine's missing-data path when NaNs appear, so a
     jitted training loop whose data gains gaps degrades gracefully instead
-    of returning NaN."""
+    of returning NaN.
+
+    nan_fallback=False skips that traced-NaN lax.cond: the cond compiles
+    BOTH branches, and the block missing-data branch's reverse pass at
+    dense-data training scale is an HBM bomb (measured: elbo+grad at
+    Nt=1M, Ns=50 wanted 32.7G of 15.75G on v5e) plus most of the cold
+    compile. Dense-data training loops should pass False — same contract
+    as logpdf(..., nan_fallback=False)."""
     from ..gp.lti_sde import _storage_dtype, build_lgssm
 
     fx_dtc = dtcify(z_r, fx)
@@ -247,7 +254,7 @@ def elbo(fx, y, z_r, *, engine=None, n_warmup=None):
                 "NaNs); use engine='block'/'sequential' for missing "
                 "observations"
             )
-        if isinstance(nan_any, _core.Tracer):
+        if isinstance(nan_any, _core.Tracer) and nan_fallback:
             lp = jax.lax.cond(
                 nan_any,
                 lambda y_: missings_mod.logpdf_with_missings(
