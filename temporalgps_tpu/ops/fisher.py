@@ -206,7 +206,9 @@ def _bwd(n_blocks, engine, prec, res, g):
     from ..config import matmul_precision_ctx
 
     model, y = res
-    with matmul_precision_ctx(prec):
+    # ambient None = the TPU bf16 default — never right for a reverse
+    # pass; floor at 'highest' (see ops/block._logpdf_pallas_bwd).
+    with matmul_precision_ctx(prec or "highest"):
         return fisher_cotangents(model, y, g, engine=engine)
 
 

@@ -257,7 +257,10 @@ def _acs_bwd(block_len, prec, res, mbar):
     from ..config import matmul_precision_ctx
 
     G, w, m0, m = res
-    with matmul_precision_ctx(prec):
+    # ambient None means the TPU bf16 default — never right for a REVERSE
+    # recursion (bf16 matmuls corrupt gradients, CLAUDE.md); floor at
+    # 'highest' (reverse cost is not on the inference fast path).
+    with matmul_precision_ctx(prec or "highest"):
         # lambda_t = mbar_t + G' lambda_{t+1}  (lambda_{M+1} = 0)
         lam = jnp.flip(
             _acs_impl(G.T, jnp.flip(mbar, 0), jnp.zeros_like(m0), block_len), 0
@@ -452,7 +455,17 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
                          cov_hi=hi_mode)
     m_start = q["means"][-1]
 
-    ops = _steady_ops(model, dtype, len(model), n_warmup=k)
+    # Seed the constants with the warmup's final filtered covariance
+    # (scalar emissions): the Newton polish converges from any reasonable
+    # PSD seed and replaces the element-squaring chain, whose tiny-element
+    # f64 algebra is emulation-fragile on TPU even at dt=1e-2 (measured
+    # ~1e-3 rel lml bias through the late-segment constants,
+    # probes/tpu_smoke.py g1 round 5). Vector emissions keep the chain
+    # (the dense polish would need big-Dout f64 cholesky per step).
+    seed = (
+        q["P_f"][-1] if isinstance(model.emis, em.ScalarEmissions) else None
+    )
+    ops = _steady_ops(model, dtype, len(model), n_warmup=k, P_seed=seed)
     y_late = y[k:]
     A0, a0 = ops["A0"], ops["a0"]
     if ops["scalar"]:
