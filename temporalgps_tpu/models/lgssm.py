@@ -168,7 +168,13 @@ def _with_precision(model_arg=0):
         def wrapper(*args, **kwargs):
             model = args[model_arg]
             resolved = _resolve_engine(kwargs.get("engine"), model)
-            if resolved == "sequential" and jax.default_backend() == "tpu":
+            # steady/lti join the exception (round 5): their warmup/chain
+            # recursions have the same bf16-reverse corruption, and their
+            # runtime is dominated by the O(k)/O(1) constant machinery,
+            # not the D<=4 dots — 'highest' is effectively free there too.
+            if resolved in ("sequential", "steady", "lti") and (
+                jax.default_backend() == "tpu"
+            ):
                 ctx = jax.default_matmul_precision("highest")
             else:
                 ctx = precision_ctx(model.latent_dim)

@@ -447,8 +447,18 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
     # cheap at small D, ~100s of ms at D~30 on TPU; "chain" bounds the f64
     # work to the log-depth power chain (flat ~3e-3 rel grads).
     # COV_HI_MODE overrides the by-dim default.
+    #
+    # On TPU with scalar emissions: NO f64 at all — the f64 element/chain
+    # algebra at small-dt scales is emulation-fragile (float32-pair limb
+    # underflow, probes/f64_scale_sweep.py; measured ~1e-3 rel lml bias
+    # through this warmup at dt=1e-2, probes/tpu_smoke.py g1). The native
+    # f32 pass is exact-to-f32, and the constants are recovered to f64
+    # round-off by the seeded Newton polish below.
+    scalar_em = isinstance(model.emis, em.ScalarEmissions)
     if COV_HI_MODE is not None:
         hi_mode = COV_HI_MODE
+    elif scalar_em and jax.default_backend() == "tpu":
+        hi_mode = False
     else:
         hi_mode = "full" if model.latent_dim <= 8 else "chain"
     q = lti._filter_pass(_trim(model, k), y[:k], n_blocks=n_blocks or B_w,
@@ -462,9 +472,7 @@ def _filter_steady(model, y, k, *, n_blocks=None, block_len=16):
     # ~1e-3 rel lml bias through the late-segment constants,
     # probes/tpu_smoke.py g1 round 5). Vector emissions keep the chain
     # (the dense polish would need big-Dout f64 cholesky per step).
-    seed = (
-        q["P_f"][-1] if isinstance(model.emis, em.ScalarEmissions) else None
-    )
+    seed = q["P_f"][-1] if scalar_em else None
     ops = _steady_ops(model, dtype, len(model), n_warmup=k, P_seed=seed)
     y_late = y[k:]
     A0, a0 = ops["A0"], ops["a0"]

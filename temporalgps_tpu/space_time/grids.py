@@ -110,7 +110,10 @@ def observations_to_time_form(x, y):
     if isinstance(x, RectilinearGrid):
         return y.reshape(n_time(x), n_space(x))
     if isinstance(x, RegularInTime):
-        out = np.full((n_time(x), x.max_n), np.nan, dtype=np.asarray(y).dtype)
+        # y.dtype, NOT np.asarray(y).dtype: y is traced under jit here
+        # (e.g. a dtype-cast inside a jitted elbo loss) and a host
+        # conversion raises TracerArrayConversionError.
+        out = np.full((n_time(x), x.max_n), np.nan, dtype=y.dtype)
         pos = 0
         rows = []
         for i, c in enumerate(x.counts):
