@@ -97,7 +97,16 @@ def logpdf_with_missings(model: LGSSM, y, *, engine=None, nan_fallback=True,
                     "NaNs); use engine='block'/'sequential' for missing data"
                 )
             return logpdf(model, y, engine=engine, **engine_kwargs)
-        if nan_fallback:
+        # The both-branch cond is DISABLED on TPU regardless of
+        # nan_fallback: beyond doubling compile and reverse-mode HBM, the
+        # compiled conditional returned a value matching NEITHER branch on
+        # v5e with NaN-free data (round 5, probes/tpu_smoke.py g1:
+        # -38442.57 vs both branches' correct -38480.73) — an XLA:TPU
+        # miscompilation class we route around like the others
+        # (docs/ROADMAP.md round-5 finding). On TPU, missing data under
+        # jit must use engine='block'/'sequential' explicitly; NaNs
+        # propagate loudly otherwise.
+        if nan_fallback and jax.default_backend() != "tpu":
             def fast(y_):
                 return logpdf(model, y_, engine=engine, **engine_kwargs)
 

@@ -254,7 +254,10 @@ def elbo(fx, y, z_r, *, engine=None, n_warmup=None, nan_fallback=True):
                 "NaNs); use engine='block'/'sequential' for missing "
                 "observations"
             )
-        if isinstance(nan_any, _core.Tracer) and nan_fallback:
+        # cond disabled on TPU: see models/missings.logpdf_with_missings
+        # (the compiled conditional mis-selects on v5e, round 5)
+        if (isinstance(nan_any, _core.Tracer) and nan_fallback
+                and jax.default_backend() != "tpu"):
             lp = jax.lax.cond(
                 nan_any,
                 lambda y_: missings_mod.logpdf_with_missings(
