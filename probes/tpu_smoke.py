@@ -22,8 +22,9 @@ Sections (each independent; failures don't stop later sections):
   g4  spatio-temporal: exact grid logpdf sequential vs kron (Ns=96 so the
       kron auto-route engages on TPU) — values only (the kron engine is a
       logpdf/marginals engine; training grads go through elbo in g5).
-  g5  DTC elbo + reverse grad (steady engine) at Nt=4096, M=10 inducing
-      points vs CPU-f64 steady elbo oracle.
+  g5  ragged (RegularInTime) DTC elbo + reverse grad (block engine; the
+      steady engine is grid-only — ragged projections are not Fill) at
+      Nt=4096, M=10 inducing points vs a CPU-f64 oracle.
 """
 
 import os
@@ -255,9 +256,12 @@ def g5():
         s2, sc, noise = jnp.exp(p.astype(dt))
         kern = Separable(s2 * EQ().stretch(sc), Matern52())
         fx = to_sde(GP(kern), ArrayStorage(dt))(xs[dt], noise)
+        # ragged (RegularInTime) DTC: per-time projections are not Fill, so
+        # the steady engine is out of contract — the block engine is the
+        # ragged training path (grid DTC + steady is covered by bench c5's
+        # on-device cross-checks).
         return elbo(fx, jnp.asarray(y_np5, dt),
-                    jnp.linspace(0.0, 5.0, M, dtype=dt),
-                    engine="steady", n_warmup=512)
+                    jnp.linspace(0.0, 5.0, M, dtype=dt), engine="block")
 
     p64 = jnp.log(jnp.asarray([1.0, 0.8, 0.1]))
     with jax.default_device(cpu_dev()):
@@ -265,8 +269,8 @@ def g5():
             lambda p: loss(p, jnp.float64)))(p64)
     v, g = jax.jit(jax.value_and_grad(
         lambda p: loss(p, dtype)))(p64.astype(dtype))
-    check("g5 dtc-elbo/steady value", float(v), float(v64), 5e-3)
-    check("g5 dtc-elbo/steady rev-grad", g, np.asarray(g64), 1e-2)
+    check("g5 dtc-elbo/block (ragged) value", float(v), float(v64), 5e-3)
+    check("g5 dtc-elbo/block (ragged) rev-grad", g, np.asarray(g64), 1e-2)
 
 
 def main():

@@ -110,20 +110,27 @@ def observations_to_time_form(x, y):
     if isinstance(x, RectilinearGrid):
         return y.reshape(n_time(x), n_space(x))
     if isinstance(x, RegularInTime):
-        # y.dtype, NOT np.asarray(y).dtype: y is traced under jit here
-        # (e.g. a dtype-cast inside a jitted elbo loss) and a host
-        # conversion raises TracerArrayConversionError.
-        out = np.full((n_time(x), x.max_n), np.nan, dtype=y.dtype)
-        pos = 0
-        rows = []
-        for i, c in enumerate(x.counts):
-            rows.append((i, pos, c))
-            pos += c
-        out = jnp.asarray(out)
-        for i, pos, c in rows:
-            out = out.at[i, :c].set(y[pos : pos + c])
-        return out
+        # ONE static-index scatter: counts are static, so the flat->padded
+        # index map is a host-side numpy computation and the whole fill is
+        # a single .at[].set — the previous per-row loop emitted Nt
+        # dynamic-update-slices and made ragged compiles crawl ("Very slow
+        # compile" at Nt=4096). y may be traced (jitted elbo losses), so
+        # only y.dtype is read, never its values.
+        rr, cc = _ragged_scatter_indices(x)
+        out = jnp.full((n_time(x), x.max_n), jnp.nan, dtype=y.dtype)
+        return out.at[rr, cc].set(y)
     return y
+
+
+def _ragged_scatter_indices(x):
+    """Host-side (row, col) indices of each flat observation in the padded
+    (Nt, max_n) layout, from the static counts."""
+    counts = np.asarray(x.counts)
+    rr = np.repeat(np.arange(counts.shape[0]), counts)
+    cc = np.concatenate([np.arange(c) for c in counts]) if counts.size else (
+        np.zeros((0,), np.int64)
+    )
+    return rr, cc
 
 
 def noise_var_to_time_form(x, noise_flat):
@@ -134,12 +141,9 @@ def noise_var_to_time_form(x, noise_flat):
     if isinstance(x, RectilinearGrid):
         return noise_flat.reshape(n_time(x), n_space(x))
     if isinstance(x, RegularInTime):
+        rr, cc = _ragged_scatter_indices(x)
         out = jnp.ones((n_time(x), x.max_n), noise_flat.dtype)
-        pos = 0
-        for i, c in enumerate(x.counts):
-            out = out.at[i, :c].set(noise_flat[pos : pos + c])
-            pos += c
-        return out
+        return out.at[rr, cc].set(noise_flat)
     return noise_flat
 
 
@@ -150,8 +154,8 @@ def destructure(x, ys):
     if isinstance(x, RectilinearGrid):
         return ys.reshape(-1)
     if isinstance(x, RegularInTime):
-        parts = [ys[i, :c] for i, c in enumerate(x.counts)]
-        return jnp.concatenate(parts)
+        rr, cc = _ragged_scatter_indices(x)  # one gather, not Nt slices
+        return ys[rr, cc]
     return ys
 
 
